@@ -7,9 +7,16 @@ def spark():
     s = (
         SparkSession.builder.master("local[8]")
         .appName("webcrawler-spark-tests")
-        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.driver.memory", "4g")
+        .config("spark.sql.shuffle.partitions", "4")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # bound driver-side status/plan retention: the iterative round
+        # loop issues thousands of tiny queries per session
+        .config("spark.sql.ui.retainedExecutions", "8")
+        .config("spark.ui.retainedJobs", "100")
+        .config("spark.ui.retainedStages", "100")
+        .config("spark.sql.maxPlanStringLength", "8192")
         .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
     )

@@ -1,0 +1,82 @@
+"""Partitioned Bloom seen-filter (SURVEY.md O5) — safety properties."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from webcrawler_spark.operators.bloom import (
+    _bit_positions,
+    _hash2,
+    anti_join_with_bloom,
+    build_bloom,
+    optimal_bits,
+)
+
+
+def test_no_false_drops_exact_equivalence(spark):
+    """anti_join_with_bloom ≡ left_anti join, for any overlap pattern."""
+    seen = spark.createDataFrame(
+        [(f"https://h{i % 7}.x/p{i}",) for i in range(0, 500, 2)], "url string"
+    )
+    cand = spark.createDataFrame(
+        [(f"https://h{i % 7}.x/p{i}",) for i in range(500)], "url string"
+    )
+    got = {r["url"] for r in anti_join_with_bloom(cand, seen, "url").collect()}
+    want = {r["url"] for r in cand.join(seen, "url", "left_anti").collect()}
+    assert got == want
+    assert len(want) == 250
+
+
+def test_tiny_filter_heavy_fp_still_correct(spark):
+    """Undersized bitmap ⇒ many false positives ⇒ the exact join must
+    still rescue every never-seen URL (SURVEY.md §7.4(4))."""
+    seen = spark.createDataFrame([(f"u{i}",) for i in range(100)], "url string")
+    cand = spark.createDataFrame([(f"u{i}",) for i in range(300)], "url string")
+    got = {
+        r["url"]
+        for r in anti_join_with_bloom(cand, seen, "url", m_bits=64).collect()
+    }
+    assert got == {f"u{i}" for i in range(100, 300)}
+
+
+@given(st.lists(st.text(min_size=1, max_size=30), max_size=40, unique=True))
+@settings(max_examples=30, deadline=None)
+def test_bloom_membership_no_false_negatives(urls):
+    """Pure-numpy property: every inserted key probes positive."""
+    import numpy as np
+    import pandas as pd
+
+    if not urls:
+        return
+    m = optimal_bits(len(urls))
+    s = pd.Series(urls)
+    h1, h2 = _hash2(s)
+    pos = _bit_positions(h1, h2, m)
+    bitmap = np.zeros(m // 8, dtype=np.uint8)
+    flat = pos.ravel()
+    np.bitwise_or.at(
+        bitmap, (flat // 8).astype(np.int64), (1 << (flat % 8)).astype(np.uint8)
+    )
+    bits = (bitmap[(pos // 8).astype(np.int64)] >> (pos % 8).astype(np.uint8)) & 1
+    assert bits.all()
+
+
+def test_build_bloom_distributed_matches_local(spark):
+    """mapInPandas partial-bitmap OR-merge == single-pass build."""
+    import numpy as np
+    import pandas as pd
+
+    urls = [f"https://site{i}.example/{i*i}" for i in range(1000)]
+    df = spark.createDataFrame([(u,) for u in urls], "url string").repartition(8)
+    m = optimal_bits(1000)
+    got = build_bloom(df, "url", m)
+
+    local = np.zeros(m // 8, dtype=np.uint8)
+    h1, h2 = _hash2(pd.Series(urls))
+    pos = _bit_positions(h1, h2, m).ravel()
+    np.bitwise_or.at(
+        local, (pos // 8).astype(np.int64), (1 << (pos % 8)).astype(np.uint8)
+    )
+    assert np.array_equal(got, local)

@@ -1,0 +1,704 @@
+"""Batch-iterative crawl engine: one Spark job per round (SURVEY.md §3.2).
+
+This is the PySpark-native replacement for the reference's 80 threads +
+locks + mailboxes (Crawler.py / Worker.py / WorkersPipeline.py): a
+driver-side round loop over five snapshot tables. Every cross-worker
+interaction of the reference is a shuffle here; every lock is gone.
+
+Scheduling semantics implemented (citations → /root/reference/):
+
+* W1 host order   — (priority, host) min-first          Worker.py:49,227-228
+* W2 priorities   — first host 0; new hosts (max-min)/2; re-queued
+                    hosts last_fetch + delay             Worker.py:119-147
+* W3 per-host FIFO — discovered_seq order                Host.py:59-69
+* W4 politeness   — delay law 0.1/verbatim/3.0 clamp     Host.py:95-114
+* F1-F8 gates, J1-J3 joins, A1-A5 aggregates             SURVEY.md §2
+* seen = every URL ever popped (attempted), not fetched  Worker.py:202
+
+Virtual clock: all politeness is computed in *virtual seconds* with
+native window arithmetic (no sleeps, no wall clock), which makes runs
+deterministic and lets the offline bench crank through simulated hours
+in wall-clock seconds. A live deployment flips ``live_politeness`` to
+sleep inside the applyInPandas fetch executor instead (same law).
+
+Determinism contract (§5.3): with ``sequential_parity_mode()`` config
+(one host, one URL per round) the engine reproduces the reference
+simulator's total attempt order exactly; in full-parallel BSP mode the
+fetch SET, per-host FIFO order, per-host counts, and extracted text
+are exact, and the politeness law holds per host in virtual time.
+
+Scale design (10^10 URLs, 1000 executors):
+* frontier/seen are bucketed by ``pmod(xxhash64(host), n_buckets)`` —
+  the J1 anti-join, the W3 window, and the host_state join all shuffle
+  on host, so one well-chosen layout serves every stage (O3/O12).
+* host_policy is broadcast (J2, O4); pages gate-join reads only
+  (url, status, content_type) and the html column is joined *only for
+  fetched rows* — the reference's HEAD-before-GET two-phase fetch
+  becomes column pruning (O2).
+* the seen anti-join takes the partitioned-Bloom pre-pass (O5) when
+  ``use_bloom``; mega-host skew is broken by two-phase salted FIFO
+  selection (O9) when ``salt_n > 1``.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from webcrawler_spark.functions.parse import parse_page_udf
+from webcrawler_spark.functions.robots import (
+    MAX_DELAY_SECONDS,
+    MIN_DELAY_SECONDS,
+    clamp_delay,
+    parse_robots,
+    robots_allowed_udf,
+)
+from webcrawler_spark.functions.urltools import (
+    extension_filter_col,
+    host_col,
+    normalize_url_udf,
+    resource_col,
+)
+from webcrawler_spark.operators.bloom import anti_join_with_bloom
+from webcrawler_spark.simulator import VIRTUAL_CLOCK_START
+from webcrawler_spark.sparkutil import checkpoint, free
+from webcrawler_spark.tables import MemoryCatalog, ParquetCatalog
+
+SEQ_STRIDE = 1 << 40  # per-round discovered_seq base; FIFO across rounds
+
+
+@dataclass
+class CrawlConfig:
+    limit: Optional[int] = None          # A1 page budget (-n)
+    max_rounds: Optional[int] = None     # safety valve
+    hosts_per_round: Optional[int] = None  # None = all schedulable hosts
+    max_urls_per_host_per_round: int = 50
+    round_window: float = 3.0            # virtual seconds per round (W4 budget)
+    n_buckets: int = 8                   # host-hash bucket count (O12)
+    use_bloom: bool = False              # O5 seen pre-filter
+    salt_n: int = 1                      # O9 two-phase FIFO selection fan
+    collect_metrics: bool = True         # S7 per-round metrics table
+    agent: str = "*"                     # Host.py:9
+
+    @staticmethod
+    def sequential_parity_mode(limit: Optional[int] = None) -> "CrawlConfig":
+        """One (priority,host)-min host, one URL, per round — the exact
+        discrete-event order of the reference heap (SURVEY.md §5.3)."""
+        return CrawlConfig(
+            limit=limit, hosts_per_round=1, max_urls_per_host_per_round=1
+        )
+
+
+@dataclass
+class CrawlState:
+    """The driver scalars the reference kept under locks
+    (WorkersPipeline.py:24-26) — tiny, JSON-serializable, checkpointed
+    into the catalog manifest each round."""
+
+    round: int = 0
+    clock: float = VIRTUAL_CLOCK_START
+    curr_min: Optional[float] = None     # None ⇒ +inf (Worker.py:50)
+    curr_max: float = 0.0
+    total_fetched: int = 0
+    total_attempted: int = 0
+    first_host_assigned: bool = False
+    done: bool = False
+    # W2 medium priority snapshot for hosts discovered last round:
+    # in the reference, a new host's medium is computed at add_link
+    # time, BEFORE the discovering host's own re-queue bumps currMax
+    # (Worker.py:143-147 runs inside the links loop; the re-queue at
+    # Worker.py:197-198 runs after it). pending_medium carries that
+    # pre-requeue value across the round boundary.
+    pending_medium: Optional[float] = None
+
+    def to_json(self) -> dict:
+        return self.__dict__.copy()
+
+    @staticmethod
+    def from_json(d: dict) -> "CrawlState":
+        s = CrawlState()
+        s.__dict__.update(d)
+        return s
+
+    @property
+    def medium_priority(self) -> float:
+        """W2 new-host priority: max(0,(currMax-currMin)/2), -inf-safe
+        (Worker.py:143-147 with Worker.py:50-51 initial values)."""
+        if self.curr_min is None:
+            return 0.0
+        return max(0.0, (self.curr_max - self.curr_min) / 2)
+
+
+_HOST_STATE_SCHEMA = (
+    "host string, robots_ok boolean, robots_body string, delay double,"
+    " priority double, ever_popped boolean"
+)
+_FRONTIER_SCHEMA = (
+    "url string, host string, resource string, bucket int, depth int,"
+    " discovered_seq long"
+)
+_SEEN_SCHEMA = (
+    "url string, host string, bucket int, fetched boolean, round int,"
+    " attempt_ts double, discovered_seq long"
+)
+
+
+class CrawlEngine:
+    """Driver loop + per-round job over catalog tables."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        pages: DataFrame,
+        catalog=None,
+        config: CrawlConfig | None = None,
+    ):
+        self.spark = spark
+        self.cfg = config or CrawlConfig()
+        self.cat = catalog if catalog is not None else MemoryCatalog(spark)
+        self.state = CrawlState()
+        # O2 column pruning: the gate join never touches html
+        self.pages_meta = pages.select("url", "status", "content_type")
+        self.pages_html = pages.select("url", "html")
+        self.pages_robots = (
+            pages.select("url", "html", "status")
+            .filter(F.col("url").endswith("/robots.txt"))
+        )
+
+    # ------------------------------------------------------------------
+    # setup / resume
+    # ------------------------------------------------------------------
+    def _bucket(self, host: F.Column) -> F.Column:
+        return F.pmod(F.xxhash64(host), F.lit(self.cfg.n_buckets)).cast("int")
+
+    def init_from_seeds(self, seeds: DataFrame) -> None:
+        """S1/D1: seeds (url, seed_order) → round-0 frontier."""
+        fr = (
+            seeds.select(
+                normalize_url_udf("url").alias("url"),
+                F.col("seed_order").cast("long").alias("discovered_seq"),
+            )
+            .withColumn("host", host_col(F.col("url")))
+            .withColumn("resource", resource_col(F.col("url")))
+            .filter(F.col("host") != "")                      # F8
+            .dropDuplicates(["url"])                          # A5
+            .withColumn("bucket", self._bucket(F.col("host")))
+            .withColumn("depth", F.lit(0))
+            .select(
+                "url", "host", "resource", "bucket", "depth", "discovered_seq"
+            )
+        )
+        self.cat.overwrite("frontier", fr.repartition("bucket"))
+        empty = self.spark.createDataFrame([], _SEEN_SCHEMA)
+        self.cat.overwrite("seen", empty)
+        self.cat.overwrite(
+            "host_state", self.spark.createDataFrame([], _HOST_STATE_SCHEMA)
+        )
+        self.state = CrawlState()
+        self.cat.commit_round(-1, self.state.to_json())
+
+    def resume(self) -> None:
+        """North_rule resumption: state scalars come back from the
+        manifest; tables come back as the last committed snapshot."""
+        st = self.cat.load_state()
+        if st is None:
+            raise ValueError("catalog has no committed state to resume from")
+        self.state = CrawlState.from_json(st)
+
+    # ------------------------------------------------------------------
+    # robots for newly-discovered hosts (S2, lazy per host)
+    # ------------------------------------------------------------------
+    def _robots_for_new_hosts(self, frontier: DataFrame, host_state: DataFrame) -> DataFrame:
+        new_hosts = (
+            frontier.select("host")
+            .distinct()
+            .join(host_state.select("host"), "host", "left_anti")
+        )
+        agent = self.cfg.agent
+
+        joined = new_hosts.join(
+            self.pages_robots.select(
+                F.expr("substring(url, 1, length(url) - length('/robots.txt'))").alias(
+                    "host"
+                ),
+                F.col("html").alias("robots_html"),
+                F.col("status").alias("robots_status"),
+            ),
+            "host",
+            "left",
+        )
+
+        @F.pandas_udf("robots_ok boolean, robots_body string, delay double")
+        def parse_udf(html: pd.Series, status: pd.Series) -> pd.DataFrame:
+            from webcrawler_spark.functions.htmltools import decode_html_bytes
+
+            rows = []
+            for b, s in zip(html, status):
+                ok = b is not None and s is not None and 200 <= s < 300
+                if not ok:
+                    rows.append((False, None, clamp_delay(None, False)))
+                    continue
+                body = decode_html_bytes(bytes(b))
+                rules = parse_robots(body, agent)
+                rows.append((True, body, clamp_delay(rules.crawl_delay, True)))
+            return pd.DataFrame(rows, columns=["robots_ok", "robots_body", "delay"])
+
+        parsed = joined.withColumn(
+            "_r", parse_udf(F.col("robots_html"), F.col("robots_status"))
+        ).select("host", "_r.robots_ok", "_r.robots_body", "_r.delay")
+
+        # W2 priorities for brand-new hosts: the very first host ever
+        # gets 0 (Worker.py:121-123); later new hosts get the medium
+        # (round-granular curr stats; exact in sequential parity mode).
+        medium = (
+            self.state.pending_medium
+            if self.state.pending_medium is not None
+            else self.state.medium_priority
+        )
+        if not self.state.first_host_assigned:
+            first = (
+                frontier.groupBy("host")
+                .agg(F.min("discovered_seq").alias("s"))
+                .orderBy("s", "host")
+                .limit(1)
+                .select("host")
+                .withColumn("_first", F.lit(True))
+            )
+            parsed = parsed.join(first, "host", "left").withColumn(
+                "priority",
+                F.when(F.col("_first"), F.lit(0.0)).otherwise(F.lit(medium)),
+            ).drop("_first")
+            self.state.first_host_assigned = True
+        else:
+            parsed = parsed.withColumn("priority", F.lit(medium))
+        return parsed.withColumn("ever_popped", F.lit(False)).select(
+            "host", "robots_ok", "robots_body", "delay", "priority", "ever_popped"
+        )
+
+    # ------------------------------------------------------------------
+    # one round (SURVEY.md §3.2 rebuild pipeline)
+    # ------------------------------------------------------------------
+    def run_round(self) -> dict:
+        cfg, st = self.cfg, self.state
+        frontier = self.cat.read("frontier")
+        host_state = self.cat.read("host_state")
+        seen = self.cat.read("seen")
+
+        if frontier.isEmpty():                                  # D4 quiescence
+            st.done = True
+            self.cat.commit_round(st.round, st.to_json())
+            return {"round": st.round, "attempted": 0, "fetched": 0, "stopped": "empty"}
+        if cfg.limit is not None and st.total_fetched >= cfg.limit:
+            st.done = True
+            self.cat.commit_round(st.round, st.to_json())
+            return {"round": st.round, "attempted": 0, "fetched": 0, "stopped": "budget"}
+
+        # ---- S2: lazily admit new hosts into host_state ---------------
+        # (kept lazy; the merged state is checkpointed once at round end)
+        new_hosts = self._robots_for_new_hosts(frontier, host_state)
+        host_state = host_state.unionByName(new_hosts)
+
+        # ---- J2 + W1/W3 scheduling -------------------------------------
+        # note: no global clock jump here — a skipped pop must not
+        # advance the clock (Worker.py:209-216 waits only on fetches);
+        # the per-row greatest(clock, priority) below is the wait.
+        t_round = st.clock
+        cand = frontier.join(F.broadcast(host_state), "host")
+
+        if cfg.salt_n > 1:
+            # O9: two-phase top-B per host so one mega-host cannot
+            # serialize a single window task. Phase 1 ranks within
+            # (host, salt); phase 2 ranks the ≤ salt_n*B survivors.
+            budget_max = cfg.max_urls_per_host_per_round
+            salt = F.pmod(F.xxhash64("url"), F.lit(cfg.salt_n))
+            w1 = Window.partitionBy("host", salt).orderBy("discovered_seq")
+            cand = (
+                cand.withColumn("_rs", F.row_number().over(w1))
+                .filter(F.col("_rs") <= budget_max)
+                .drop("_rs")
+            )
+        w_host = Window.partitionBy("host").orderBy("discovered_seq")
+        cand = cand.withColumn("rn_host", F.row_number().over(w_host))
+
+        # per-host politeness budget for this round (W4)
+        budget = F.least(
+            F.lit(cfg.max_urls_per_host_per_round),
+            F.greatest(
+                F.lit(1),
+                F.floor(
+                    F.lit(cfg.round_window)
+                    / F.greatest(F.col("delay"), F.lit(1e-6))
+                ),
+            ).cast("int"),
+        )
+        cand = cand.filter(F.col("rn_host") <= budget)
+
+        if cfg.hosts_per_round is not None:
+            # W1 strict host rank — only used in parity mode (global
+            # sort of the distinct-host set; skipped in scale mode)
+            hosts_ranked = (
+                cand.select("host", "priority")
+                .distinct()
+                .withColumn(
+                    "host_rank",
+                    F.row_number().over(
+                        Window.orderBy(F.col("priority"), F.col("host"))
+                    ),
+                )
+                .filter(F.col("host_rank") <= cfg.hosts_per_round)
+            )
+            cand = cand.join(F.broadcast(hosts_ranked.select("host")), "host")
+
+        # ---- F1/F2 gates + J3 metadata join (HEAD phase, O2) -----------
+        sel = (
+            cand.withColumn("ext_ok", extension_filter_col(F.col("url")))   # F1
+            .withColumn(
+                "allowed", robots_allowed_udf(F.col("url"), F.col("robots_body"))
+            )                                                                # F2
+            .join(self.pages_meta, "url", "left")                            # S3/J3
+            .withColumn(
+                "head_ok",
+                F.col("status").isNotNull()
+                & F.col("content_type").contains("text/html"),               # F3/F5
+            )
+            .withColumn(
+                "should_access",
+                F.col("allowed") & F.col("ext_ok") & F.col("head_ok"),
+            )
+            .withColumn(
+                "fetched",
+                F.col("should_access") & F.col("status").between(200, 299),  # F4
+            )
+        )
+
+        # ---- W4 virtual-clock attempt timestamps (native windows) ------
+        start_h = F.greatest(F.lit(t_round), F.col("priority"))
+        w_seq = (
+            Window.partitionBy("host")
+            .orderBy("rn_host")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        consumed_before = F.coalesce(
+            F.sum(F.col("should_access").cast("int")).over(w_seq), F.lit(0)
+        )
+        sel = sel.withColumn(
+            "attempt_ts", start_h + consumed_before * F.col("delay")
+        )
+        sel = checkpoint(sel)  # reused ≥3× below
+
+        # one combined scalar agg per round (the old locked counters,
+        # WorkersPipeline.py:24-26) — a single job instead of four
+        def _scalars(df):
+            return df.agg(
+                F.count("*").alias("n_att"),
+                F.sum(F.col("fetched").cast("int")).alias("n_fet"),
+                F.min("priority").alias("min_popped"),
+                F.max(
+                    F.when(
+                        F.col("should_access"),
+                        F.col("attempt_ts") + F.col("delay"),
+                    )
+                ).alias("max_requeue"),
+                F.max(
+                    F.when(F.col("should_access"), F.col("attempt_ts"))
+                ).alias("max_fetch_ts"),
+            ).first()
+
+        scal = _scalars(sel)
+        n_fetched_round = scal["n_fet"] or 0
+
+        # ---- A1 budget truncation (final-round exact landing) ----------
+        truncated = False
+        if cfg.limit is not None and st.total_fetched + n_fetched_round > cfg.limit:
+            remaining = cfg.limit - st.total_fetched
+            w_glob = (
+                Window.orderBy("attempt_ts", "priority", "host", "rn_host")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            )
+            cumf = F.coalesce(F.sum(F.col("fetched").cast("int")).over(w_glob), F.lit(0))
+            sel = (
+                sel.withColumn("_cumf", cumf)
+                .filter(F.col("_cumf") < F.lit(remaining))
+                .drop("_cumf")
+            )
+            sel = checkpoint(sel)
+            scal = _scalars(sel)
+            n_fetched_round = scal["n_fet"] or 0
+            truncated = True
+
+        # ---- GET phase: join html for fetched rows only (O2) ----------
+        fetched_rows = (
+            sel.filter("fetched")
+            .select("url", "host", "bucket", "depth", "priority",
+                    "rn_host", "attempt_ts", "delay")
+            .join(self.pages_html, "url", "inner")                           # S4
+            .withColumn("_p", parse_page_udf(F.col("html"), F.col("host")))  # P6-P11
+            .drop("html")
+            .select(
+                "url", "host", "bucket", "depth", "priority", "rn_host",
+                "attempt_ts", "delay",
+                F.col("_p.text").alias("text"),
+                F.col("_p.title").alias("title"),
+                F.col("_p.first20").alias("first20"),
+                F.col("_p.links").alias("links"),
+            )
+        )
+        fetched_rows = checkpoint(fetched_rows)
+
+        # ---- writes: pages_fetched (S5), debug (S6), seen -------------
+        self.cat.append(
+            "pages_fetched",
+            fetched_rows.select(
+                "url", "host", "depth", "text", "title", "first20",
+                F.col("attempt_ts").alias("fetch_ts"),
+                F.lit(st.round).alias("round"),
+                F.spark_partition_id().alias("part_id"),        # lineage
+                F.size("links").alias("n_links"),
+            ),
+        )
+        attempts = sel.select(
+            "url", "host", "bucket", "fetched", F.lit(st.round).alias("round"),
+            "attempt_ts", "discovered_seq",
+        )
+        seen = self.cat.append("seen", attempts)
+
+        # ---- new links → frontier (P7/P8 → A5 → J1) --------------------
+        links = (
+            fetched_rows.select(
+                F.col("attempt_ts").alias("parent_ts"),
+                F.col("priority").alias("parent_prio"),
+                F.col("host").alias("parent_host"),
+                F.col("depth").alias("parent_depth"),
+                F.explode("links").alias("url"),
+            )
+            .withColumn("host", host_col(F.col("url")))
+            .withColumn("resource", resource_col(F.col("url")))
+            .filter(F.col("host") != "")                                      # F8
+        )
+        # A5 in-round dedup keeping the earliest discovery
+        w_first = Window.partitionBy("url").orderBy(
+            "parent_ts", "parent_prio", "parent_host"
+        )
+        links = (
+            links.withColumn("_rn", F.row_number().over(w_first))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        remaining_frontier = frontier.join(
+            sel.select("url"), "url", "left_anti"
+        )
+        # J1: never re-attempt (seen) and never double-queue (pending)
+        if cfg.use_bloom:
+            new_links = anti_join_with_bloom(links, seen, "url")
+        else:
+            new_links = links.join(seen.select("url"), "url", "left_anti")
+        new_links = new_links.join(
+            remaining_frontier.select("url"), "url", "left_anti"
+        )
+
+        # W3 discovered_seq: FIFO per host in discovery order
+        w_disc = Window.partitionBy("host").orderBy(
+            "parent_ts", "parent_prio", "parent_host", "url"
+        )
+        new_links = new_links.select(
+            "url",
+            "host",
+            "resource",
+            self._bucket(F.col("host")).alias("bucket"),
+            (F.col("parent_depth") + 1).alias("depth"),
+            (
+                F.lit((st.round + 1) * SEQ_STRIDE)
+                + F.row_number().over(w_disc)
+            ).alias("discovered_seq"),
+            "parent_ts",
+        )
+        new_links = checkpoint(new_links)
+
+        new_frontier = remaining_frontier.unionByName(
+            new_links.drop("parent_ts")
+        ).repartition("bucket")
+
+        # ---- host_state priority updates (W2 re-queue + revive) --------
+        host_updates = sel.groupBy("host").agg(
+            F.max(
+                F.when(
+                    F.col("should_access"),
+                    F.col("attempt_ts") + F.col("delay"),
+                )
+            ).alias("requeue_ts"),
+            F.count("*").alias("attempted"),
+            F.sum(F.col("fetched").cast("int")).alias("n_fetched"),
+        )
+
+        # revive: a known idle host (off the queue: previously popped,
+        # empty FIFO) receiving new links is re-scheduled at
+        # first-arrival + delay (Worker.py:127-134)
+        hosts_with_pending = remaining_frontier.select("host").distinct()
+        revived_rows = (
+            new_links.groupBy("host")
+            .agg(F.min("parent_ts").alias("arrival_ts"))
+            .join(hosts_with_pending, "host", "left_anti")
+            .join(host_state.select("host", "delay", "ever_popped"), "host")
+            .filter(F.col("ever_popped"))
+            .select(
+                "host", (F.col("arrival_ts") + F.col("delay")).alias("revive_ts")
+            )
+            .collect()  # revived hosts are few by construction (idle + re-linked)
+        )
+
+        host_state2 = host_state.join(F.broadcast(host_updates), "host", "left")
+        if revived_rows:
+            revived_df = self.spark.createDataFrame(
+                revived_rows, "host string, revive_ts double"
+            )
+            host_state2 = host_state2.join(F.broadcast(revived_df), "host", "left")
+        else:
+            host_state2 = host_state2.withColumn(
+                "revive_ts", F.lit(None).cast("double")
+            )
+        host_state2 = host_state2.select(
+            "host", "robots_ok", "robots_body", "delay",
+            F.coalesce("revive_ts", "requeue_ts", "priority").alias("priority"),
+            (F.col("ever_popped") | F.col("attempted").isNotNull()).alias(
+                "ever_popped"
+            ),
+        ).coalesce(self.cfg.n_buckets)
+        # ^ the union-with-new-hosts otherwise grows the table's
+        # partition count every round (checkpoint preserves partitions,
+        # so N rounds would mean ~4N near-empty tasks per stage)
+
+        # ---- metrics (S7 + lineage) ------------------------------------
+        if cfg.collect_metrics:
+            self.cat.append(
+                "metrics",
+                host_updates.select(
+                    F.lit(st.round).alias("round"),
+                    "host",
+                    "attempted",
+                    F.coalesce("n_fetched", F.lit(0)).alias("fetched"),
+                    (
+                        F.col("attempted") - F.coalesce("n_fetched", F.lit(0))
+                    ).alias("skipped"),
+                    F.spark_partition_id().alias("part_id"),
+                ),
+            )
+
+        # ---- driver-scalar updates (the old locked globals) ------------
+        min_popped = scal["min_popped"]
+        # currMax only moves when a host is actually RE-PUSHED, i.e. it
+        # still has pending URLs after the pop (Worker.py:197-198 runs
+        # only then; a drained host is never re-queued, so its would-be
+        # requeue ts must not leak into the W2 medium)
+        max_requeue = (
+            host_updates.join(
+                new_frontier.select("host").distinct(), "host"
+            )
+            .agg(F.max("requeue_ts"))
+            .first()[0]
+        )
+        max_fetch_ts = scal["max_fetch_ts"]
+        n_attempted = scal["n_att"] or 0
+        max_revive = max((r["revive_ts"] for r in revived_rows), default=None)
+
+        if min_popped is not None and (
+            st.curr_min is None or min_popped < st.curr_min
+        ):
+            st.curr_min = min_popped                    # Worker.py:183-184
+        # snapshot the W2 medium BEFORE this round's re-queues bump
+        # currMax (see CrawlState.pending_medium note)
+        st.pending_medium = st.medium_priority
+        for v in (max_requeue, max_revive):
+            if v is not None and v > st.curr_max:
+                st.curr_max = v                         # Worker.py:131-132
+        if max_fetch_ts is not None and max_fetch_ts > st.clock:
+            st.clock = max_fetch_ts
+
+        st.total_fetched += n_fetched_round
+        st.total_attempted += int(n_attempted)
+
+        # host_state2 references the OLD frontier snapshot (via the
+        # new-host robots join), so it must be materialized before the
+        # frontier overwrite frees that snapshot's checkpoint blocks
+        self.cat.overwrite("host_state", host_state2)
+        self.cat.overwrite("frontier", new_frontier)
+        # free this round's checkpoint caches (iterative loops leak
+        # cached RDD blocks otherwise — OOM after ~50 rounds)
+        for _df in (sel, fetched_rows, new_links):
+            free(_df)
+        # drop py4j proxies promptly: every round creates hundreds of
+        # JVM-side Dataset/plan objects that stay pinned until the
+        # Python GC releases their proxies; a periodic JVM GC nudge
+        # lets ContextCleaner reap dropped broadcasts/shuffles in
+        # long driver loops (thousands of rounds)
+        import gc
+
+        gc.collect()
+        if st.round % 10 == 9:
+            self.spark.sparkContext._jvm.System.gc()
+        round_no = st.round
+        st.round += 1
+        if cfg.limit is not None and st.total_fetched >= cfg.limit:
+            st.done = True
+        self.cat.commit_round(round_no, st.to_json())
+        return {
+            "round": round_no,
+            "attempted": int(n_attempted),
+            "fetched": int(n_fetched_round),
+            "truncated": truncated,
+        }
+
+    # ------------------------------------------------------------------
+    def run(self, seeds: DataFrame | None = None, verbose: bool = False) -> list[dict]:
+        """Full crawl: init (unless resuming) + rounds until quiescence
+        (D4), budget (A1), or max_rounds."""
+        if seeds is not None:
+            self.init_from_seeds(seeds)
+        history = []
+        while not self.state.done:
+            if (
+                self.cfg.max_rounds is not None
+                and self.state.round >= self.cfg.max_rounds
+            ):
+                break
+            m = self.run_round()
+            history.append(m)
+            if verbose:
+                print(m)
+        return history
+
+    # -- result accessors ------------------------------------------------
+    def pages_fetched(self) -> DataFrame:
+        df = self.cat.read("pages_fetched")
+        if df is None:
+            return self.spark.createDataFrame(
+                [], "url string, host string, depth int, text string,"
+                " title string, first20 string, fetch_ts double, round int,"
+                " part_id int, n_links int"
+            )
+        return df
+
+    def seen(self) -> DataFrame:
+        return self.cat.read("seen")
+
+    def debug_records(self) -> DataFrame:
+        """S6: the reference's debug JSON records (DebugPrinter.py:9-18)."""
+        pf = self.pages_fetched()
+        return pf.select(
+            F.to_json(
+                F.struct(
+                    F.col("url").alias("URL"),
+                    F.col("title").alias("Title"),
+                    F.col("first20").alias("Text"),
+                    F.col("fetch_ts").alias("Timestamp"),
+                )
+            ).alias("record")
+        )
+
+    def host_counts(self) -> DataFrame:
+        """A2/A3/A4: per-host attempted counts (Host.py:147-148 semantics)."""
+        return self.seen().groupBy("host").agg(F.count("*").alias("n"))

@@ -156,6 +156,12 @@ class ReferenceSimulator:
             h = self.hosts[host]
             resource = h.fifo.popleft()
             h.pending.discard(resource)
+            # mark attempted-as-seen at pop (intended Revisitation
+            # semantics: a page must never be attempted twice, even via
+            # a self-link discovered during its own parse; the reference
+            # marks late at Worker.py:202, which SURVEY.md §2.7 flags as
+            # the double-fetch defect — not reproduced)
+            h.seen.add(resource)
             url = host + resource
 
             if not h.robots_fetched:
@@ -198,8 +204,8 @@ class ReferenceSimulator:
                 if h.fifo:
                     self._push(host, prio)
 
-            # mark attempted unconditionally (Worker.py:202)
-            h.seen.add(resource)
+            # attempted counter (Worker.py:202 unconditional marking;
+            # the seen-set insert itself moved to pop time, see above)
             h.crawled_count += 1
             if fetched:
                 h.fetched_count += 1

@@ -1,0 +1,193 @@
+"""Snapshot-versioned table catalog (SURVEY.md §7.0, §2.1 S5/S7).
+
+Emulates the Iceberg snapshot semantics the north_rule asks for
+(append-only snapshots, time travel, resume-from-snapshot) on plain
+parquet + a JSON manifest, so the whole engine runs in this sandbox.
+The write path is isolated behind this module: against a real Iceberg
+catalog every ``append``/``overwrite`` below becomes a one-line
+``df.writeTo(name).append()`` / ``.overwritePartitions()`` swap.
+
+Design:
+
+* A table snapshot = an ordered list of immutable parquet directories
+  (``data dirs``).  ``append`` adds one new dir; ``overwrite`` starts a
+  fresh list.  Reading a snapshot = ``spark.read.parquet(*dirs)``.
+* ``manifest.json`` maps ``round -> {table: [dirs...], state: {...}}``
+  plus the small driver scalars (virtual clock, curr_min/max, totals)
+  that the reference kept in locked heap variables
+  (WorkersPipeline.py:24-26) — checkpoint = the manifest row.
+* Two catalogs share the interface:
+  - :class:`ParquetCatalog` — durable, resumable (used by the CLI and
+    the resumption tests).
+  - :class:`MemoryCatalog` — test/bench mode: tables are cached
+    DataFrames, each round boundary cut with ``localCheckpoint`` so the
+    iterative plan does not grow unboundedly (classic iterative-DF
+    lineage blowup).
+
+Scale note (10^10 URLs): `frontier`/`seen` carry a ``bucket`` column
+(= ``pmod(xxhash64(host), n_buckets)``) and every written dataset is
+repartitioned by it, so the per-round anti-join and the per-host window
+rank shuffle on a key that is already the storage layout; with a real
+Iceberg catalog this becomes a storage-partitioned join (no shuffle at
+all, SURVEY.md O12).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from webcrawler_spark.sparkutil import checkpoint, free
+
+
+class MemoryCatalog:
+    """Ephemeral catalog: parquet snapshots in a session temp dir.
+
+    Why parquet and not ``localCheckpoint``: a checkpoint's LogicalRDD
+    *inherits the statistics of the plan it checkpointed*. In an
+    iterative loop the join-size estimates therefore COMPOUND round
+    over round (join stats are products), and after ~15 rounds the
+    ``sizeInBytes`` BigInt reaches millions of bits — Catalyst then
+    spends the whole round in BigInteger Toom-Cook multiplications and
+    eventually OOMs on int[] digits. (Found the hard way; see repo
+    history.) A parquet round-trip resets every leaf to real file
+    statistics, which also lets AQE pick honest join strategies.
+
+    State (the manifest scalars) is kept in memory only — this catalog
+    is for tests/benchmarks; use :class:`ParquetCatalog` for durable,
+    resumable crawls.
+    """
+
+    durable = False
+
+    def __init__(self, spark: SparkSession, root: str | None = None):
+        import tempfile
+
+        self.spark = spark
+        self.root = root or tempfile.mkdtemp(prefix="wcspark-cat-")
+        self._dirs: dict[str, list[str]] = {}
+        self._seq = 0
+        self._state: dict = {}
+
+    def _new_dir(self, name: str) -> str:
+        self._seq += 1
+        return os.path.join(self.root, name, f"d{self._seq:06d}")
+
+    def read(self, name: str) -> Optional[DataFrame]:
+        dirs = self._dirs.get(name)
+        if not dirs:
+            return None
+        return self.spark.read.parquet(*dirs)
+
+    def overwrite(self, name: str, df: DataFrame) -> DataFrame:
+        d = self._new_dir(name)
+        df.write.parquet(d)
+        old = self._dirs.get(name)
+        self._dirs[name] = [d]
+        if old:
+            import shutil
+
+            for o in old:
+                shutil.rmtree(o, ignore_errors=True)
+        return self.spark.read.parquet(d)
+
+    def append(self, name: str, df: DataFrame) -> DataFrame:
+        d = self._new_dir(name)
+        df.write.parquet(d)
+        self._dirs.setdefault(name, []).append(d)
+        return self.read(name)
+
+    def commit_round(self, round_no: int, state: dict) -> None:
+        self._state = dict(state)
+
+    def load_state(self) -> Optional[dict]:
+        return dict(self._state) if self._state else None
+
+
+class ParquetCatalog:
+    """Durable snapshot catalog: parquet data dirs + manifest.json.
+
+    Layout::
+
+        root/
+          manifest.json         # {"rounds": [{"round": r, "tables": {...},
+                                #              "state": {...}, "ts": ...}]}
+          <table>/d000017/...   # immutable data dirs (never rewritten)
+
+    Resume = read the last manifest row; every data dir referenced by it
+    still exists (appends never delete), so any snapshot is recoverable
+    (north_rule: "resumable from checkpoint").
+    """
+
+    durable = True
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self._manifest_path = os.path.join(root, "manifest.json")
+        self._dirs: dict[str, list[str]] = {}
+        self._seq = 0
+        last = self._last_round()
+        if last is not None:
+            self._dirs = {t: list(ds) for t, ds in last["tables"].items()}
+            self._seq = last["seq"]
+
+    # -- manifest ------------------------------------------------------
+    def _manifest(self) -> dict:
+        if os.path.exists(self._manifest_path):
+            with open(self._manifest_path) as f:
+                return json.load(f)
+        return {"rounds": []}
+
+    def _last_round(self) -> Optional[dict]:
+        rounds = self._manifest()["rounds"]
+        return rounds[-1] if rounds else None
+
+    def load_state(self) -> Optional[dict]:
+        last = self._last_round()
+        return dict(last["state"]) if last else None
+
+    def commit_round(self, round_no: int, state: dict) -> None:
+        """Atomically publish this round's snapshot (write-then-rename)."""
+        m = self._manifest()
+        m["rounds"].append(
+            {
+                "round": round_no,
+                "seq": self._seq,
+                "tables": {t: list(ds) for t, ds in self._dirs.items()},
+                "state": state,
+                "ts": time.time(),
+            }
+        )
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1)
+        os.replace(tmp, self._manifest_path)
+
+    # -- data ------------------------------------------------------------
+    def _new_dir(self, name: str) -> str:
+        self._seq += 1
+        return os.path.join(self.root, name, f"d{self._seq:06d}")
+
+    def read(self, name: str) -> Optional[DataFrame]:
+        dirs = self._dirs.get(name)
+        if not dirs:
+            return None
+        return self.spark.read.parquet(*dirs)
+
+    def overwrite(self, name: str, df: DataFrame) -> DataFrame:
+        d = self._new_dir(name)
+        df.write.parquet(d)
+        self._dirs[name] = [d]
+        return self.spark.read.parquet(d)
+
+    def append(self, name: str, df: DataFrame) -> DataFrame:
+        d = self._new_dir(name)
+        df.write.parquet(d)
+        self._dirs.setdefault(name, []).append(d)
+        return self.read(name)
