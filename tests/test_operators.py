@@ -1,0 +1,173 @@
+"""Training-data operators: dedup / similarity / textstats / multimodal."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from webcrawler_spark.operators import dedup, multimodal, similarity, textstats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),   # near-dup of 0
+        (2, "el rapido zorro marron salta sobre el perro"),
+        (3, "the quick brown fox jumps over the lazy dog"),   # exact dup of 0
+        (4, "completely different text about spark engines and shuffles"),
+        (5, "THE  Quick   brown fox jumps over the lazy dog"),  # norm-dup of 0
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_dedup(docs):
+    groups = dedup.exact_duplicate_groups(docs).collect()
+    by_keeper = {r["keeper"]: r["n_docs"] for r in groups}
+    assert by_keeper[0] == 3  # 0, 3, and whitespace/case-normalized 5
+    kept = dedup.drop_exact_duplicates(docs).select("doc_id").collect()
+    assert {r["doc_id"] for r in kept} == {0, 1, 2, 4}
+
+
+def test_shingles(spark):
+    out = spark.createDataFrame(
+        [("a b c d",), ("x",)], "text string"
+    ).select(dedup.word_shingles(F.col("text"), 3).alias("s")).collect()
+    assert out[0]["s"] == ["a b c", "b c d"]
+    assert out[1]["s"] == []
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = {
+        (r["a"], r["b"]) for r in dedup.lsh_candidate_pairs(docs).collect()
+    }
+    assert (0, 3) in pairs          # exact dups always collide
+    assert (0, 1) in pairs          # near-dups share most shingles
+    assert (0, 2) not in pairs      # different language text
+
+
+def test_jaccard_pairs(docs):
+    rows = {(r["a"], r["b"]): r["jaccard"] for r in
+            dedup.jaccard_pairs(docs, threshold=0.4).collect()}
+    assert rows[(0, 3)] == 1.0
+    assert 0.4 <= rows[(0, 1)] < 1.0
+    assert (0, 4) not in rows
+
+
+def test_simhash_hamming(docs):
+    pairs = {(r["a"], r["b"]): r["hamming"] for r in
+             dedup.simhash_near_pairs(docs, max_hamming=6).collect()}
+    assert pairs[(0, 3)] == 0       # identical text → identical sketch
+    assert (0, 1) in pairs          # one-word change → few bits flip
+    fp = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    assert all(0 <= v < (1 << 32) for v in fp.values())
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    base = rng.rand(20, 8)
+    base[7] = base[3] * 1.001 + 1e-4       # near-duplicate pair (3, 7)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>").cache()
+
+
+def test_cosine_topk_exact(embeddings):
+    q = embeddings.filter("vec_id = 3").first()["embedding"]
+    top = similarity.cosine_topk(embeddings, q, k=3).collect()
+    assert top[0]["neighbor_id"] == 3 and top[0]["sim"] == 1.0
+    assert top[1]["neighbor_id"] == 7          # the planted near-dup
+    assert [r["rank"] for r in top] == [1, 2, 3]
+
+
+def test_lsh_topk_contains_planted_neighbor(embeddings):
+    q = embeddings.filter("vec_id = 3").first()["embedding"]
+    approx = similarity.lsh_bucket_topk(embeddings, q, k=5, n_planes=4).collect()
+    ids = [r["neighbor_id"] for r in approx]
+    assert 3 in ids and 7 in ids               # same bucket by construction
+
+
+def test_embedding_near_dup_pairs(embeddings):
+    pairs = {(r["a"], r["b"]) for r in
+             similarity.embedding_near_dup_pairs(embeddings, 0.999).collect()}
+    assert (3, 7) in pairs
+
+
+def test_textstats_and_quality(spark):
+    df = spark.createDataFrame(
+        [(0, "the cat sat on the mat"), (1, "zzz")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in textstats.with_text_stats(df).collect()}
+    assert out[0]["n_tokens"] == 6
+    assert out[0]["stopword_ratio"] == pytest.approx(3 / 6)  # the, on, the
+    q = {r["doc_id"]: r["q"] for r in
+         df.select("doc_id", textstats.quality_score(F.col("text")).alias("q")).collect()}
+    assert q[0] > q[1]
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [(0, "the fox and the hound of war is here"),
+         (1, "el perro de la casa que ladra"),
+         (2, "der hund und die katze das haus"),
+         (3, "xyzzy plugh")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["lang"] for r in
+           df.select("doc_id", textstats.lang_id(F.col("text")).alias("lang")).collect()}
+    assert out == {0: "en", 1: "es", 2: "de", 3: "und"}
+
+
+def test_multimodal_fake_features_deterministic(spark):
+    media = multimodal.build_fake_media(spark, 12)
+    f1 = {r["media_id"]: r["feature"] for r in
+          multimodal.image_features(media, fake=True).collect()}
+    f2 = {r["media_id"]: r["feature"] for r in
+          multimodal.image_features(media, fake=True).collect()}
+    assert f1 == f2
+    assert all(len(v) == multimodal.IMAGE_FEATURE_DIM for v in f1.values())
+    assert all(0.0 <= x < 1.0 for v in f1.values() for x in v)
+
+
+def test_multimodal_real_decode_is_stubbed(spark):
+    media = multimodal.build_fake_media(spark, 3)
+    with pytest.raises(Exception):  # NotImplementedError inside executors
+        multimodal.image_features(media, fake=False).collect()
+
+
+def test_frame_sample_plan(spark):
+    media = multimodal.build_fake_media(spark, 12)
+    rows = multimodal.frame_sample_plan(media, every_s=2.0).collect()
+    vids = {r["media_id"] for r in rows}
+    assert vids  # only kind == video
+    one = [r["sample_ts"] for r in rows if r["media_id"] == list(vids)[0]]
+    assert one == sorted(one)
+
+
+def test_spark_matches_duckdb_for_dedup_and_topk(spark):
+    """Pre-validate the oracle approach: same md5 hash family, same
+    values, Spark vs DuckDB, on the driver testdata documents table."""
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    got = {
+        r["fp"]: (r["keeper"], r["n_docs"])
+        for r in dedup.exact_duplicate_groups(docs).collect()
+    }
+    con = duckdb.connect()
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            f"""
+            select md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) fp,
+                   min(doc_id) keeper, count(*) n
+            from '{sf}/documents.parquet' group by 1
+            """
+        ).fetchall()
+    }
+    assert got == want

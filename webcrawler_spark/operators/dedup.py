@@ -1,0 +1,270 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Large-scale training-data pipelines dedup at three cost tiers; each is
+implemented Spark-first (native expressions; shuffles only on the keys
+that need them) and — except where noted — reproducibly enough that a
+DuckDB ANSI-SQL oracle computes identical rows (the md5-based hash
+family is used precisely because both engines share it bit-for-bit;
+xxhash64 exists only in Spark).
+
+Scale notes (100 TB corpus):
+* exact dedup is one hash-aggregate: map-side partial min/count, one
+  shuffle on the 128-bit digest.
+* MinHash/LSH shuffles once on (band_id, band_min) — candidate pairs
+  only materialize within a bucket, never the full cross join.
+* SimHash joins on 8-bit sub-bands of the 32-bit fingerprint
+  (pigeonhole: hamming ≤ 3 ⇒ at least one of 4 bytes equal), so the
+  near-dup join is also bucket-local.
+* n-gram Jaccard is the verification tier, run on LSH candidates only;
+  the standalone pairwise form here is for small corpora / oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from webcrawler_spark.operators.textstats import fingerprint
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicate_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One row per distinct content hash: keeper id + group size.
+
+    ``keeper`` is the smallest id (deterministic survivor policy).
+    """
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keeper"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+def drop_exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep only the keeper row of every content-hash group."""
+    keepers = exact_duplicate_groups(df, id_col, text_col).select(
+        F.col("keeper").alias(id_col)
+    )
+    return df.join(keepers, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# shingles
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Word n-grams as an array<string> (space-joined), deduplicated."""
+    words = F.split(text, " ")
+    count = F.size(words) - F.lit(n - 1)
+    # sequence(1, 0) DESCENDS in Spark — guard short texts explicitly
+    return F.when(count < 1, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), count),
+                lambda i: F.array_join(F.slice(words, i, n), " "),
+            )
+        )
+    )
+
+
+def explode_shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    return df.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """One row per (doc, band): band_min = min over shingles of
+    md5(band || '|' || shingle).
+
+    The md5-with-salt family is shared verbatim by the DuckDB oracle.
+    One shuffle: the per-doc aggregate.
+    """
+    sh = explode_shingles(df, id_col, text_col, n)
+    mins = [
+        F.min(F.md5(F.concat(F.lit(str(b)), F.lit("|"), F.col("shingle")))).alias(
+            f"band{b}"
+        )
+        for b in range(bands)
+    ]
+    sig = sh.groupBy(id_col).agg(*mins)
+    stack_expr = ", ".join(f"'{b}', band{b}" for b in range(bands))
+    return sig.selectExpr(
+        id_col, f"stack({bands}, {stack_expr}) as (band_id, band_min)"
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Distinct (a, b) with a < b sharing ≥1 MinHash band bucket.
+
+    The join key is (band_id, band_min): Jaccard-similar docs collide
+    with high probability; the full doc×doc cross join never exists.
+    """
+    sig = minhash_signatures(df, id_col, text_col, n, bands)
+    left = sig.select(
+        F.col(id_col).alias("a"), "band_id", "band_min"
+    )
+    right = sig.select(
+        F.col(id_col).alias("b"), "band_id", "band_min"
+    )
+    return (
+        left.join(right, ["band_id", "band_min"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (verification tier)
+# ---------------------------------------------------------------------------
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(a, b, jaccard) for pairs with shingle-set Jaccard ≥ threshold.
+
+    Self-join on shingle → pair intersection counts; per-doc set sizes
+    give the union by inclusion-exclusion. Exact (not sketched).
+    """
+    sh = explode_shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    inter = (
+        sh.select(F.col(id_col).alias("a"), "shingle")
+        .join(sh.select(F.col(id_col).alias("b"), "shingle"), "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza")), "a")
+        .join(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("szb")), "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32  # 32-bit md5-derived word hashes (oracle-shareable)
+
+
+def _word_hash(word: Column) -> Column:
+    """First 8 hex chars of md5 → uint32 (same in DuckDB)."""
+    return F.conv(F.substring(F.md5(word), 1, 8), 16, 10).cast("long")
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, simhash:long) — classic Charikar sketch over word hashes.
+
+    For each bit position, sum +1/-1 over the document's (distinct)
+    words; the sign vector packs into a 32-bit fingerprint. One explode
+    + one hash-aggregate; everything stays in codegen.
+    """
+    words = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("w"),
+    ).withColumn("h", _word_hash(F.col("w")))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            )
+        ).alias(f"s{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    agg = words.groupBy(id_col).agg(*bit_sums)
+    fp = None
+    for i in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return agg.select(F.col(id_col), fp.cast("long").alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(a, b, hamming) pairs with hamming(simhash) ≤ max_hamming.
+
+    Pigeonhole banding: a 32-bit key split into 4 bytes; hamming ≤ 3
+    forces at least one byte to match exactly, so candidates join on
+    (byte_idx, byte_val) — no cross join — then verify with xor+popcount.
+    """
+    fp = simhash(df, id_col, text_col)
+    banded = fp.select(
+        F.col(id_col),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("byte_idx"),
+                        F.shiftright(F.col("simhash"), 8 * i)
+                        .bitwiseAND(F.lit(0xFF))
+                        .alias("byte_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "simhash", "band.byte_idx", "band.byte_val")
+    left = banded.select(
+        F.col(id_col).alias("a"), F.col("simhash").alias("ha"), "byte_idx", "byte_val"
+    )
+    right = banded.select(
+        F.col(id_col).alias("b"), F.col("simhash").alias("hb"), "byte_idx", "byte_val"
+    )
+    return (
+        left.join(right, ["byte_idx", "byte_val"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", F.bit_count(F.expr("ha ^ hb")).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

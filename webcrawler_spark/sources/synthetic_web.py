@@ -312,3 +312,98 @@ def big_web_seeds(spark: SparkSession, num_hosts: int = 200, every: int = 20) ->
             F.col("id").cast("int").alias("seed_order"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Web synthesized from the driver's documents table (entry/bench input)
+# ---------------------------------------------------------------------------
+
+
+def pages_from_documents(
+    spark: SparkSession, sf_dir: str, links_per_page: int = 6
+) -> DataFrame:
+    """Deterministic pages table built from ``{sf_dir}/documents.parquet``.
+
+    Each document becomes one HTML page on host ``https://<source>.example``
+    with the doc text as body and ``links_per_page`` intra-corpus links
+    chosen by an affine formula over doc_id — a connected, reproducible
+    web whose visible text is the document text (so crawl output can be
+    checked against the source table). Every host gets a robots.txt with
+    a small deterministic Crawl-delay. Generation is fully distributed
+    (native expressions only).
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    host = F.concat(F.lit("https://"), F.col("source"), F.lit(".example"))
+    url = F.concat(host, F.lit("/doc/"), F.col("doc_id").cast("string"))
+    n_sources = docs.select("source").distinct().count()
+
+    links = F.transform(
+        F.sequence(F.lit(1), F.lit(links_per_page)),
+        lambda k: F.concat(
+            F.lit("https://src"),
+            ((F.col("doc_id") * 7 + k * 13) % n_sources).cast("string"),
+            F.lit(".example/doc/"),
+            ((F.col("doc_id") * 3 + k * 17) % n).cast("string"),
+        ),
+    )
+    anchors = F.aggregate(
+        links,
+        F.lit(""),
+        lambda acc, u: F.concat(acc, F.lit('<a href="'), u, F.lit('">l</a>')),
+    )
+    html = F.concat(
+        F.lit("<html><head><title>doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title></head><body><p>"),
+        F.col("text"),
+        F.lit("</p>"),
+        anchors,
+        F.lit("</body></html>"),
+    )
+    pages = docs.select(
+        url.alias("url"),
+        F.to_timestamp(F.lit(_EPOCH)).alias("warc_ts"),
+        html.cast("binary").alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.col("lang"),
+        F.lit(200).alias("status"),
+        F.lit(HTML_CT).alias("content_type"),
+    )
+    robots = (
+        docs.select("source")
+        .distinct()
+        .select(
+            F.concat(
+                F.lit("https://"), F.col("source"), F.lit(".example/robots.txt")
+            ).alias("url"),
+            F.to_timestamp(F.lit(_EPOCH)).alias("warc_ts"),
+            F.concat(
+                F.lit("User-agent: *\nCrawl-delay: 0.0"),
+                (F.length("source") % 5 + 1).cast("string"),
+                F.lit("\n"),
+            ).cast("binary").alias("html"),
+            F.lit(None).cast("string").alias("text"),
+            F.lit("en").alias("lang"),
+            F.lit(200).alias("status"),
+            F.lit("text/plain").alias("content_type"),
+        )
+    )
+    return pages.unionByName(robots)
+
+
+def document_web_seeds(spark: SparkSession, sf_dir: str, n_seeds: int = 4) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.orderBy("doc_id")
+        .limit(n_seeds)
+        .select(
+            F.concat(
+                F.lit("https://"),
+                F.col("source"),
+                F.lit(".example/doc/"),
+                F.col("doc_id").cast("string"),
+            ).alias("url"),
+            F.col("doc_id").cast("int").alias("seed_order"),
+        )
+    )
