@@ -1,0 +1,140 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Runs the headline workloads at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` (default 32):
+
+* ``crawl``      — a budgeted crawl of the web synthesized from the
+                   documents table (the engine's real workload: J1-J3
+                   joins, W1-W4 windows, parse UDF, snapshot writes).
+* analytics      — aggregation / join / window / dedup / similarity
+                   operators from ``__spark_entry__.queries()``.
+
+Output: {"metric": "...", "value": <total sec>, "unit": "sec",
+         "queries": {name: sec}, "sf": <float>,
+         "crawl": {pages, urls, pages_per_sec, urls_per_sec}}
+
+The N-vs-4N scaling-efficiency evidence (north_rule) is produced by
+``scripts/bench_scaling.py`` (separate JVMs per parallelism level) and
+recorded in BENCH.md / BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# queries() entries benched at sf0.1 (the heavier representatives)
+BENCH_QUERIES = [
+    "pricing_summary",
+    "broadcast_dim_join",
+    "fetch_join_filter",
+    "fifo_first_event",
+    "exact_dedup",
+    "minhash_lsh_pairs",
+    "simhash",
+    "text_quality",
+    "cosine_topk",
+    "sessionize",
+    "tumbling_events",
+]
+
+
+def _sf_of(path: str) -> float:
+    name = os.path.basename(path.rstrip("/"))
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def run_crawl_bench(spark) -> tuple[float, dict]:
+    from webcrawler_spark.engine import CrawlConfig
+    from webcrawler_spark.plans.crawl import crawl
+    from webcrawler_spark.sources.synthetic_web import (
+        document_web_seeds,
+        pages_from_documents,
+    )
+
+    import tempfile
+
+    pages_dir = os.path.join(tempfile.mkdtemp(prefix="docweb-"), "pages")
+    pages_from_documents(spark, SF_DIR).write.parquet(pages_dir)
+    pages = spark.read.parquet(pages_dir)
+    seeds = document_web_seeds(spark, SF_DIR, n_seeds=8)
+    cfg = CrawlConfig(
+        max_rounds=6,
+        collect_metrics=False,
+        max_urls_per_host_per_round=500,
+        round_window=60.0,
+    )
+    t0 = time.time()
+    session = crawl(spark, pages, seeds, config=cfg)
+    dt = time.time() - t0
+    eng = session.engine
+    pages_fetched = eng.state.total_fetched
+    urls = eng.state.total_attempted
+    return dt, {
+        "pages": pages_fetched,
+        "urls": urls,
+        "rounds": len(session.history),
+        "pages_per_sec": round(pages_fetched / dt, 1),
+        "urls_per_sec": round(urls / dt, 1),
+        "pages_per_sec_per_core": round(pages_fetched / dt / CPUS, 3),
+    }
+
+
+def main() -> int:
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entrymod
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("webcrawler-spark-bench")
+        .config("spark.driver.memory", "16g")
+        .config("spark.sql.shuffle.partitions", str(CPUS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    crawl_sec, crawl_stats = run_crawl_bench(spark)
+    timings["crawl"] = round(crawl_sec, 3)
+
+    qs = entrymod.queries()
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        # count() forces full execution without driver-collecting rows
+        qs[name](spark, SF_DIR).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "crawl+analytics wall seconds at sf"
+                f"{_sf_of(SF_DIR)} on local[{CPUS}]",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_of(SF_DIR),
+                "crawl": crawl_stats,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

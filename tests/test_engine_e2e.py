@@ -169,3 +169,19 @@ def test_bloom_path_equivalent(spark, pages):
         {(r["url"], r["fetched"]) for r in eng.seen().collect()}
         == {(r["url"], r["fetched"]) for r in plain.seen().collect()}
     )
+
+
+def test_apply_in_pandas_politeness_equivalent(spark, pages):
+    """north_star fetch-executor shape: the applyInPandas grouped-map
+    politeness path produces the identical crawl (same seen set, same
+    attempt timestamps) as the native window path."""
+    native = CrawlEngine(spark, pages, config=CrawlConfig(max_rounds=40))
+    native.run(seeds_df(spark))
+    cfg = CrawlConfig(max_rounds=40, fetch_executor="apply_in_pandas")
+    grouped = CrawlEngine(spark, pages, config=cfg)
+    grouped.run(seeds_df(spark))
+    a = {(r["url"], r["fetched"], round(r["attempt_ts"], 5))
+         for r in native.seen().collect()}
+    b = {(r["url"], r["fetched"], round(r["attempt_ts"], 5))
+         for r in grouped.seen().collect()}
+    assert a == b

@@ -84,6 +84,13 @@ class CrawlConfig:
     salt_n: int = 1                      # O9 two-phase FIFO selection fan
     collect_metrics: bool = True         # S7 per-round metrics table
     agent: str = "*"                     # Host.py:9
+    # W4 executor: "native" = window-arithmetic virtual clock (codegen,
+    # default); "apply_in_pandas" = grouped-map per-host executor — the
+    # shape a LIVE crawler needs, where the group function can actually
+    # time.sleep between fetches (live_politeness) and call out to the
+    # network. Both produce identical timestamps (tested).
+    fetch_executor: str = "native"
+    live_politeness: bool = False        # real sleeps inside the group fn
 
     @staticmethod
     def sequential_parity_mode(limit: Optional[int] = None) -> "CrawlConfig":
@@ -169,12 +176,62 @@ class CrawlEngine:
             pages.select("url", "html", "status")
             .filter(F.col("url").endswith("/robots.txt"))
         )
+        self._robots_side = None  # materialized lazily, once per session
 
     # ------------------------------------------------------------------
     # setup / resume
     # ------------------------------------------------------------------
+    _TRACE = bool(__import__("os").environ.get("WCSPARK_TRACE"))
+
+    def _t(self, label: str, t0: float) -> float:
+        import time as _time
+
+        now = _time.time()
+        if self._TRACE:
+            print(f"    [trace] {label}: {now - t0:.2f}s", flush=True)
+        return now
+
     def _bucket(self, host: F.Column) -> F.Column:
         return F.pmod(F.xxhash64(host), F.lit(self.cfg.n_buckets)).cast("int")
+
+    def _politeness_apply_in_pandas(self, sel: DataFrame, t_round: float) -> DataFrame:
+        """W4 as a grouped-map executor (north_star shape): one pandas
+        group per host runs its FIFO serially, assigning attempt
+        timestamps under the politeness law — and, in live mode,
+        actually sleeping out the delays (Worker.py:209-216). The
+        virtual-time math is identical to the native window path.
+
+        Skew note (O9): a mega-host group is bounded by the per-round
+        budget (max_urls_per_host_per_round), so no group exceeds
+        budget rows regardless of frontier skew.
+        """
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        out_schema = StructType(
+            list(sel.schema.fields) + [StructField("attempt_ts", DoubleType())]
+        )
+        live = self.cfg.live_politeness
+
+        def run_host(pdf: pd.DataFrame) -> pd.DataFrame:
+            import time as _time
+
+            pdf = pdf.sort_values("rn_host").reset_index(drop=True)
+            start = max(t_round, float(pdf["priority"].iloc[0]))
+            delay = float(pdf["delay"].iloc[0])
+            ts, consumed = [], 0
+            for sa in pdf["should_access"]:
+                t = start + consumed * delay
+                ts.append(t)
+                if bool(sa):
+                    if live:
+                        wait = t - _time.time()
+                        if wait > 0:
+                            _time.sleep(min(wait, 30.0))
+                    consumed += 1
+            pdf["attempt_ts"] = ts
+            return pdf
+
+        return sel.groupBy("host").applyInPandas(run_host, out_schema)
 
     def init_from_seeds(self, seeds: DataFrame) -> None:
         """S1/D1: seeds (url, seed_order) → round-0 frontier."""
@@ -221,17 +278,27 @@ class CrawlEngine:
         )
         agent = self.cfg.agent
 
-        joined = new_hosts.join(
-            self.pages_robots.select(
-                F.expr("substring(url, 1, length(url) - length('/robots.txt'))").alias(
-                    "host"
-                ),
-                F.col("html").alias("robots_html"),
-                F.col("status").alias("robots_status"),
-            ),
-            "host",
-            "left",
-        )
+        # stream the big robots side against a BROADCAST of the small
+        # new-host set (inner), then recover robots-less hosts with a
+        # small-small left join — the pages table itself never shuffles.
+        # The robots side (one row per host that has robots.txt) is
+        # materialized ONCE per session: the endswith filter cannot be
+        # pushed into parquet, so recomputing it every round would
+        # re-scan the html column of the whole corpus. (At 10^10-URL
+        # scale this materialization is itself a table — a real
+        # deployment maintains a robots table next to the corpus.)
+        if self._robots_side is None:
+            self._robots_side = checkpoint(
+                self.pages_robots.select(
+                    F.expr(
+                        "substring(url, 1, length(url) - length('/robots.txt'))"
+                    ).alias("host"),
+                    F.col("html").alias("robots_html"),
+                    F.col("status").alias("robots_status"),
+                )
+            )
+        matched = self._robots_side.join(F.broadcast(new_hosts), "host")
+        joined = new_hosts.join(F.broadcast(matched), "host", "left")
 
         @F.pandas_udf("robots_ok boolean, robots_body string, delay double")
         def parse_udf(html: pd.Series, status: pd.Series) -> pd.DataFrame:
@@ -284,6 +351,9 @@ class CrawlEngine:
     # one round (SURVEY.md §3.2 rebuild pipeline)
     # ------------------------------------------------------------------
     def run_round(self) -> dict:
+        import time as _time
+
+        _tt = _time.time()
         cfg, st = self.cfg, self.state
         frontier = self.cat.read("frontier")
         host_state = self.cat.read("host_state")
@@ -355,12 +425,23 @@ class CrawlEngine:
             cand = cand.join(F.broadcast(hosts_ranked.select("host")), "host")
 
         # ---- F1/F2 gates + J3 metadata join (HEAD phase, O2) -----------
+        # join shape: the corpus-side table is streamed against a
+        # BROADCAST of this round's candidate urls (inner), and the
+        # left-outer semantics are recovered with a small-small join.
+        # The corpus never shuffles — at 10^10 pages a per-round
+        # sort-merge of the pages table would dwarf everything else.
+        _tt = self._t('pre-cand', _tt)
+        cand = checkpoint(cand)
+        _tt = self._t('cand ckpt', _tt)
+        cand_meta = self.pages_meta.join(
+            F.broadcast(cand.select("url")), "url"
+        )
         sel = (
             cand.withColumn("ext_ok", extension_filter_col(F.col("url")))   # F1
             .withColumn(
                 "allowed", robots_allowed_udf(F.col("url"), F.col("robots_body"))
             )                                                                # F2
-            .join(self.pages_meta, "url", "left")                            # S3/J3
+            .join(F.broadcast(cand_meta), "url", "left")                     # S3/J3
             .withColumn(
                 "head_ok",
                 F.col("status").isNotNull()
@@ -376,20 +457,25 @@ class CrawlEngine:
             )
         )
 
-        # ---- W4 virtual-clock attempt timestamps (native windows) ------
-        start_h = F.greatest(F.lit(t_round), F.col("priority"))
-        w_seq = (
-            Window.partitionBy("host")
-            .orderBy("rn_host")
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        consumed_before = F.coalesce(
-            F.sum(F.col("should_access").cast("int")).over(w_seq), F.lit(0)
-        )
-        sel = sel.withColumn(
-            "attempt_ts", start_h + consumed_before * F.col("delay")
-        )
+        # ---- W4 politeness: per-host attempt timestamps ----------------
+        if cfg.fetch_executor == "apply_in_pandas":
+            sel = self._politeness_apply_in_pandas(sel, t_round)
+        else:
+            # native window arithmetic (virtual clock, codegen path)
+            start_h = F.greatest(F.lit(t_round), F.col("priority"))
+            w_seq = (
+                Window.partitionBy("host")
+                .orderBy("rn_host")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            )
+            consumed_before = F.coalesce(
+                F.sum(F.col("should_access").cast("int")).over(w_seq), F.lit(0)
+            )
+            sel = sel.withColumn(
+                "attempt_ts", start_h + consumed_before * F.col("delay")
+            )
         sel = checkpoint(sel)  # reused ≥3× below
+        _tt = self._t('sel ckpt', _tt)
 
         # one combined scalar agg per round (the old locked counters,
         # WorkersPipeline.py:24-26) — a single job instead of four
@@ -410,6 +496,7 @@ class CrawlEngine:
             ).first()
 
         scal = _scalars(sel)
+        _tt = self._t('scalars', _tt)
         n_fetched_round = scal["n_fet"] or 0
 
         # ---- A1 budget truncation (final-round exact landing) ----------
@@ -431,46 +518,47 @@ class CrawlEngine:
             n_fetched_round = scal["n_fet"] or 0
             truncated = True
 
-        # ---- GET phase: join html for fetched rows only (O2) ----------
-        fetched_rows = (
-            sel.filter("fetched")
-            .select("url", "host", "bucket", "depth", "priority",
-                    "rn_host", "attempt_ts", "delay")
-            .join(self.pages_html, "url", "inner")                           # S4
+        # ---- GET phase + S5 sink, single pass (O2) ---------------------
+        # stream the html column against a broadcast of the fetch wave's
+        # keys, parse ONCE inside the pages_fetched parquet write, then
+        # re-read only the (links, keys) columns of the delta just
+        # written. No row cache: a localCheckpoint here would serialize
+        # the full text column twice and anti-scales with cores.
+        fetch_keys = sel.filter("fetched").select(
+            "url", "host", "bucket", "depth", "priority",
+            "rn_host", "attempt_ts", "delay",
+        )
+        fetched_full = (
+            self.pages_html.join(F.broadcast(fetch_keys), "url", "inner")    # S4
             .withColumn("_p", parse_page_udf(F.col("html"), F.col("host")))  # P6-P11
             .drop("html")
             .select(
-                "url", "host", "bucket", "depth", "priority", "rn_host",
-                "attempt_ts", "delay",
+                "url", "host", "depth", "priority",
                 F.col("_p.text").alias("text"),
                 F.col("_p.title").alias("title"),
                 F.col("_p.first20").alias("first20"),
                 F.col("_p.links").alias("links"),
-            )
-        )
-        fetched_rows = checkpoint(fetched_rows)
-
-        # ---- writes: pages_fetched (S5), debug (S6), seen -------------
-        self.cat.append(
-            "pages_fetched",
-            fetched_rows.select(
-                "url", "host", "depth", "text", "title", "first20",
+                F.size("_p.links").alias("n_links"),
                 F.col("attempt_ts").alias("fetch_ts"),
                 F.lit(st.round).alias("round"),
                 F.spark_partition_id().alias("part_id"),        # lineage
-                F.size("links").alias("n_links"),
-            ),
+            )
         )
+        fetched_rows = self.cat.append_delta("pages_fetched", fetched_full)
+        _tt = self._t('fetch+parse+write', _tt)
+
         attempts = sel.select(
             "url", "host", "bucket", "fetched", F.lit(st.round).alias("round"),
             "attempt_ts", "discovered_seq",
         )
         seen = self.cat.append("seen", attempts)
+        _tt = self._t('seen append', _tt)
 
         # ---- new links → frontier (P7/P8 → A5 → J1) --------------------
+        # columnar delta read: text/title never leave the parquet files
         links = (
             fetched_rows.select(
-                F.col("attempt_ts").alias("parent_ts"),
+                F.col("fetch_ts").alias("parent_ts"),
                 F.col("priority").alias("parent_prio"),
                 F.col("host").alias("parent_host"),
                 F.col("depth").alias("parent_depth"),
@@ -490,7 +578,7 @@ class CrawlEngine:
             .drop("_rn")
         )
         remaining_frontier = frontier.join(
-            sel.select("url"), "url", "left_anti"
+            F.broadcast(sel.select("url")), "url", "left_anti"
         )
         # J1: never re-attempt (seen) and never double-queue (pending)
         if cfg.use_bloom:
@@ -518,6 +606,7 @@ class CrawlEngine:
             "parent_ts",
         )
         new_links = checkpoint(new_links)
+        _tt = self._t('new_links ckpt', _tt)
 
         new_frontier = remaining_frontier.unionByName(
             new_links.drop("parent_ts")
@@ -538,18 +627,28 @@ class CrawlEngine:
         # revive: a known idle host (off the queue: previously popped,
         # empty FIFO) receiving new links is re-scheduled at
         # first-arrival + delay (Worker.py:127-134)
-        hosts_with_pending = remaining_frontier.select("host").distinct()
-        revived_rows = (
-            new_links.groupBy("host")
-            .agg(F.min("parent_ts").alias("arrival_ts"))
-            .join(hosts_with_pending, "host", "left_anti")
-            .join(host_state.select("host", "delay", "ever_popped"), "host")
-            .filter(F.col("ever_popped"))
-            .select(
-                "host", (F.col("arrival_ts") + F.col("delay")).alias("revive_ts")
+        if cfg.hosts_per_round is not None:
+            # exact revive timing is only needed for the total-order
+            # parity contract (sequential mode); in scale mode a
+            # revived host keeps its last requeue priority, which is
+            # politeness-legal (old requeue ≥ last fetch + delay) and
+            # saves one driver job per round
+            hosts_with_pending = remaining_frontier.select("host").distinct()
+            revived_rows = (
+                new_links.groupBy("host")
+                .agg(F.min("parent_ts").alias("arrival_ts"))
+                .join(hosts_with_pending, "host", "left_anti")
+                .join(host_state.select("host", "delay", "ever_popped"), "host")
+                .filter(F.col("ever_popped"))
+                .select(
+                    "host",
+                    (F.col("arrival_ts") + F.col("delay")).alias("revive_ts"),
+                )
+                .collect()  # revived hosts are few (idle + re-linked)
             )
-            .collect()  # revived hosts are few by construction (idle + re-linked)
-        )
+            _tt = self._t('revived collect', _tt)
+        else:
+            revived_rows = []
 
         host_state2 = host_state.join(F.broadcast(host_updates), "host", "left")
         if revived_rows:
@@ -625,10 +724,12 @@ class CrawlEngine:
         # new-host robots join), so it must be materialized before the
         # frontier overwrite frees that snapshot's checkpoint blocks
         self.cat.overwrite("host_state", host_state2)
+        _tt = self._t('host_state overwrite', _tt)
         self.cat.overwrite("frontier", new_frontier)
+        _tt = self._t('frontier overwrite', _tt)
         # free this round's checkpoint caches (iterative loops leak
         # cached RDD blocks otherwise — OOM after ~50 rounds)
-        for _df in (sel, fetched_rows, new_links):
+        for _df in (cand, sel, new_links):
             free(_df)
         # drop py4j proxies promptly: every round creates hundreds of
         # JVM-side Dataset/plan objects that stay pinned until the

@@ -221,6 +221,7 @@ def build_big_web(
     pages_per_host: int = 100,
     links_per_page: int = 8,
     partitions: int = 32,
+    body_kb: int = 0,
 ) -> DataFrame:
     """A hosts×pages synthetic web generated fully inside Spark.
 
@@ -245,21 +246,42 @@ def build_big_web(
     )
     url = F.concat(host, resource)
 
-    # deterministic link targets: k-th link of page (h,p) points at
-    # host (h*31 + p*17 + k) % H, page (p*7 + k*13 + h) % P
+    # deterministic link targets with strong mixing: affine formulas
+    # trap the crawl in small modular cosets (BFS closure ~6% of the
+    # graph), so use xxhash64 of (page id, k) — still pure native
+    # expressions, still reproducible, but the link graph is expander-
+    # like and a seed set reaches the whole web
     links = F.transform(
         F.sequence(F.lit(0), F.lit(links_per_page - 1)),
         lambda k: F.concat(
             F.lit("https://h"),
-            ((h * 31 + p * 17 + k) % num_hosts).cast("string"),
+            F.pmod(F.xxhash64(F.col("id"), k), F.lit(num_hosts)).cast("string"),
             F.lit(".bench/p"),
-            ((p * 7 + k * 13 + h) % pages_per_host).cast("string"),
+            F.pmod(F.xxhash64(F.col("id"), k + 1000), F.lit(pages_per_host)).cast(
+                "string"
+            ),
         ),
     )
     anchor_html = F.aggregate(
         links,
         F.lit(""),
         lambda acc, u: F.concat(acc, F.lit('<a href="'), u, F.lit('">x</a>')),
+    )
+    # body_kb > 0 pads each page to a realistic size (Common-Crawl
+    # HTML averages tens of KB) with deterministic per-page filler, so
+    # benchmarks exercise parse/decode at honest per-row cost instead
+    # of being dominated by per-round fixed overhead
+    filler = (
+        F.repeat(
+            F.concat(
+                F.lit("<p>w"),
+                (F.col("id") % 97).cast("string"),
+                F.lit(" lorem ipsum dolor sit amet consectetur adipiscing</p>"),
+            ),
+            body_kb * 17,  # unit ~60 bytes → ≈1 KiB per body_kb
+        )
+        if body_kb
+        else F.lit("")
     )
     html_str = F.concat(
         F.lit("<html><head><title>page "),
@@ -269,6 +291,7 @@ def build_big_web(
         F.lit(" on host "),
         h.cast("string"),
         F.lit("</p>"),
+        filler,
         anchor_html,
         F.lit("</body></html>"),
     )
@@ -338,13 +361,19 @@ def pages_from_documents(
     url = F.concat(host, F.lit("/doc/"), F.col("doc_id").cast("string"))
     n_sources = docs.select("source").distinct().count()
 
+    # link targets are real pages: the corpus assigns source =
+    # src(doc_id % n_sources), so the target's host is derivable
+    # without a self-join
+    def _target(k):
+        return (F.col("doc_id") * 3 + k * 17 + 1) % n
+
     links = F.transform(
         F.sequence(F.lit(1), F.lit(links_per_page)),
         lambda k: F.concat(
             F.lit("https://src"),
-            ((F.col("doc_id") * 7 + k * 13) % n_sources).cast("string"),
+            (_target(k) % n_sources).cast("string"),
             F.lit(".example/doc/"),
-            ((F.col("doc_id") * 3 + k * 17) % n).cast("string"),
+            _target(k).cast("string"),
         ),
     )
     anchors = F.aggregate(

@@ -19,10 +19,9 @@ Design:
 * Two catalogs share the interface:
   - :class:`ParquetCatalog` — durable, resumable (used by the CLI and
     the resumption tests).
-  - :class:`MemoryCatalog` — test/bench mode: tables are cached
-    DataFrames, each round boundary cut with ``localCheckpoint`` so the
-    iterative plan does not grow unboundedly (classic iterative-DF
-    lineage blowup).
+  - :class:`MemoryCatalog` — ephemeral session-temp-dir variant for
+    tests/benchmarks (same parquet round-trip, no manifest durability;
+    see its docstring for why parquet rather than localCheckpoint).
 
 Scale note (10^10 URLs): `frontier`/`seen` carry a ``bucket`` column
 (= ``pmod(xxhash64(host), n_buckets)``) and every written dataset is
@@ -100,6 +99,15 @@ class MemoryCatalog:
         df.write.parquet(d)
         self._dirs.setdefault(name, []).append(d)
         return self.read(name)
+
+    def append_delta(self, name: str, df: DataFrame) -> DataFrame:
+        """Append and return a reader over ONLY the new delta files —
+        lets callers re-read a pruned column subset of what they just
+        wrote instead of caching the full rows."""
+        d = self._new_dir(name)
+        df.write.parquet(d)
+        self._dirs.setdefault(name, []).append(d)
+        return self.spark.read.parquet(d)
 
     def commit_round(self, round_no: int, state: dict) -> None:
         self._state = dict(state)
@@ -191,3 +199,10 @@ class ParquetCatalog:
         df.write.parquet(d)
         self._dirs.setdefault(name, []).append(d)
         return self.read(name)
+
+    def append_delta(self, name: str, df: DataFrame) -> DataFrame:
+        """Append; return a reader over only the new delta files."""
+        d = self._new_dir(name)
+        df.write.parquet(d)
+        self._dirs.setdefault(name, []).append(d)
+        return self.spark.read.parquet(d)
