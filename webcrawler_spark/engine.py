@@ -91,6 +91,13 @@ class CrawlConfig:
     # network. Both produce identical timestamps (tested).
     fetch_executor: str = "native"
     live_politeness: bool = False        # real sleeps inside the group fn
+    # O7: bounded output files per snapshot — the WARC 1,000-records
+    # rotation analog (WarcFileSave.py:9). 0 = let Spark size files;
+    # the CLI sets 1000 for reference-parity output layout.
+    records_per_file: int = 0
+    # compact the seen table every N rounds (0 = never): bounds the
+    # delta fan-in the J1 anti-join reads on very long crawls
+    compact_seen_every: int = 16
 
     @staticmethod
     def sequential_parity_mode(limit: Optional[int] = None) -> "CrawlConfig":
@@ -544,7 +551,9 @@ class CrawlEngine:
                 F.spark_partition_id().alias("part_id"),        # lineage
             )
         )
-        fetched_rows = self.cat.append_delta("pages_fetched", fetched_full)
+        fetched_rows = self.cat.append_delta(
+            "pages_fetched", fetched_full, cfg.records_per_file
+        )
         _tt = self._t('fetch+parse+write', _tt)
 
         attempts = sel.select(
@@ -745,6 +754,12 @@ class CrawlEngine:
         st.round += 1
         if cfg.limit is not None and st.total_fetched >= cfg.limit:
             st.done = True
+        if (
+            cfg.compact_seen_every
+            and round_no > 0
+            and round_no % cfg.compact_seen_every == 0
+        ):
+            self.cat.compact("seen")
         self.cat.commit_round(round_no, st.to_json())
         return {
             "round": round_no,

@@ -108,11 +108,20 @@ class _TextAndLinkParser(_StdHTMLParser):
 
 
 def decode_html_bytes(html: bytes) -> str:
-    """P6 — charset_normalizer best-guess decode (Parser.py:8-11)."""
+    """P6 — charset_normalizer best-guess decode (Parser.py:8-11).
+
+    Fast path: pure-ASCII payloads decode directly — every charset
+    charset_normalizer could pick is an ASCII superset, so the result
+    is byte-identical while skipping the (comparatively slow) chaos
+    analysis. Non-ASCII bytes take the full parity path (e.g. the
+    latin-1 fixture host still gets cn's cp-guess semantics).
+    """
     if html is None:
         return ""
     if isinstance(html, str):
         return html
+    if html.isascii():
+        return html.decode("ascii")
     if _cn_from_bytes is not None:
         best = _cn_from_bytes(html).best()
         if best is not None:

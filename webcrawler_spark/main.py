@@ -30,6 +30,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-rounds", type=int, default=None)
     p.add_argument("--bloom", action="store_true", help="Bloom seen pre-filter")
     p.add_argument("--salt", type=int, default=1, help="mega-host salt fan (O9)")
+    p.add_argument(
+        "--records-per-file", type=int, default=1000,
+        help="output rotation (reference WARC parity: 1000 pages/file)",
+    )
     return p
 
 
@@ -48,6 +52,7 @@ def main(argv=None) -> int:
         max_rounds=args.max_rounds,
         use_bloom=args.bloom,
         salt_n=args.salt,
+        records_per_file=args.records_per_file,
     )
 
     t0 = time.time()

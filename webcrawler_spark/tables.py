@@ -94,20 +94,39 @@ class MemoryCatalog:
                 shutil.rmtree(o, ignore_errors=True)
         return self.spark.read.parquet(d)
 
-    def append(self, name: str, df: DataFrame) -> DataFrame:
+    def append(self, name: str, df: DataFrame, max_records_per_file: int = 0) -> DataFrame:
         d = self._new_dir(name)
-        df.write.parquet(d)
+        w = df.write
+        if max_records_per_file:
+            # O7: the reference rotated WARC files at 1,000 records
+            # (WarcFileSave.py:9); parquet's maxRecordsPerFile is the
+            # native equivalent — bounded output files per snapshot
+            w = w.option("maxRecordsPerFile", max_records_per_file)
+        w.parquet(d)
         self._dirs.setdefault(name, []).append(d)
         return self.read(name)
 
-    def append_delta(self, name: str, df: DataFrame) -> DataFrame:
+    def append_delta(self, name: str, df: DataFrame, max_records_per_file: int = 0) -> DataFrame:
         """Append and return a reader over ONLY the new delta files —
         lets callers re-read a pruned column subset of what they just
         wrote instead of caching the full rows."""
         d = self._new_dir(name)
-        df.write.parquet(d)
+        w = df.write
+        if max_records_per_file:
+            w = w.option("maxRecordsPerFile", max_records_per_file)
+        w.parquet(d)
         self._dirs.setdefault(name, []).append(d)
         return self.spark.read.parquet(d)
+
+    def compact(self, name: str) -> DataFrame:
+        """Merge a table's delta dirs into one snapshot dir. Long
+        crawls append one `seen` delta per round; periodic compaction
+        keeps the union fan-in (and at scale, the file count the
+        anti-join must open) bounded."""
+        cur = self.read(name)
+        if cur is None:
+            return None
+        return self.overwrite(name, cur)
 
     def commit_round(self, round_no: int, state: dict) -> None:
         self._state = dict(state)
@@ -194,15 +213,29 @@ class ParquetCatalog:
         self._dirs[name] = [d]
         return self.spark.read.parquet(d)
 
-    def append(self, name: str, df: DataFrame) -> DataFrame:
+    def append(self, name: str, df: DataFrame, max_records_per_file: int = 0) -> DataFrame:
         d = self._new_dir(name)
-        df.write.parquet(d)
+        w = df.write
+        if max_records_per_file:
+            w = w.option("maxRecordsPerFile", max_records_per_file)
+        w.parquet(d)
         self._dirs.setdefault(name, []).append(d)
         return self.read(name)
 
-    def append_delta(self, name: str, df: DataFrame) -> DataFrame:
+    def append_delta(self, name: str, df: DataFrame, max_records_per_file: int = 0) -> DataFrame:
         """Append; return a reader over only the new delta files."""
         d = self._new_dir(name)
-        df.write.parquet(d)
+        w = df.write
+        if max_records_per_file:
+            w = w.option("maxRecordsPerFile", max_records_per_file)
+        w.parquet(d)
         self._dirs.setdefault(name, []).append(d)
         return self.spark.read.parquet(d)
+
+    def compact(self, name: str) -> DataFrame:
+        """Merge delta dirs into one snapshot dir (manifest keeps old
+        dirs referenced by prior rounds; nothing is deleted)."""
+        cur = self.read(name)
+        if cur is None:
+            return None
+        return self.overwrite(name, cur)
