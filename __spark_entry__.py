@@ -670,7 +670,7 @@ def oracle_sql() -> dict[str, str]:
                        (partition by user_id order by ts, event_id)) as gap
               from events)
             select user_id,
-                   sum(case when gap is null or gap > 1800 then 1 else 0 end)
+                   sum(case when gap is null or gap > 1800 then 1 else 0 end)::BIGINT
                      as n_sessions,
                    count(*) as n_events
             from g group by user_id
@@ -682,8 +682,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "json_props": """
             select event_type,
-                   sum(json_extract_string(props, '$.k')::BIGINT) as sum_k,
-                   max(json_extract_string(props, '$.k')::BIGINT) as max_k
+                   sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT as sum_k,
+                   max(json_extract_string(props, '$.k')::BIGINT)::BIGINT as max_k
             from events group by event_type
         """,
     }

@@ -73,9 +73,16 @@ def main():
                 failures.append((name, "rows-only query returned 0 rows"))
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            # fetchdf (not fetchall) so DuckDB wide types degrade the same
+            # way they do in the driver's pandas-based hash: HUGEINT ->
+            # float64 surfaces as 99111.0 vs Spark's int64 99111 and FAILS
+            # here too, instead of silently round-tripping as Python int.
+            dpd = con.execute(oracles[name]).fetchdf()
+            dcols = list(dpd.columns)
+            drows = [
+                tuple(x.item() if hasattr(x, "item") else x for x in row)
+                for row in dpd.itertuples(index=False, name=None)
+            ]
         except Exception as e:
             failures.append((name, f"DUCKDB ERROR {e}"))
             print(f"FAIL {name}: duckdb error {str(e)[:200]}")

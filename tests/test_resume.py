@@ -55,6 +55,38 @@ def test_resume_equals_uninterrupted(spark, pages, tmp_path_factory):
     assert texts == ref_texts
 
 
+def test_resume_after_midround_crash(spark, pages, tmp_path_factory):
+    """A crash AFTER data dirs are written but BEFORE commit_round leaves
+    orphan dirs at seq numbers the resumed run will re-allocate (it
+    restores _seq from the last committed manifest row). The resumed
+    round must clobber those garbage dirs, not die on
+    PATH_ALREADY_EXISTS, and still converge to the reference run."""
+    cfg = CrawlConfig(max_rounds=40)
+
+    ref = CrawlEngine(spark, pages, config=cfg)
+    ref.run(seeds_df(spark))
+    ref_seen = _seen_set(ref)
+
+    root = str(tmp_path_factory.mktemp("catalog"))
+    cat1 = ParquetCatalog(spark, root)
+    eng1 = CrawlEngine(spark, pages, catalog=cat1, config=cfg)
+    eng1.init_from_seeds(seeds_df(spark))
+    eng1.run_round()
+    eng1.run_round()
+    # round 3 "crashes" mid-round: its parquet dirs land on disk but the
+    # manifest row is never published (commit_round is the commit point)
+    cat1.commit_round = lambda round_no, state: None
+    eng1.run_round()
+    del eng1, cat1
+
+    eng2 = CrawlEngine(
+        spark, pages, catalog=ParquetCatalog(spark, root), config=cfg
+    )
+    eng2.resume()  # restores round-2 state; round 3's orphan dirs exist
+    eng2.run()
+    assert _seen_set(eng2) == ref_seen
+
+
 def test_time_travel_snapshots(spark, pages, tmp_path_factory):
     """Each round commit is a recoverable snapshot: the manifest keeps
     every round's table versions (Iceberg-snapshot emulation)."""

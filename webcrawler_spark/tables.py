@@ -209,13 +209,19 @@ class ParquetCatalog:
 
     def overwrite(self, name: str, df: DataFrame) -> DataFrame:
         d = self._new_dir(name)
-        df.write.parquet(d)
+        # mode("overwrite"): after a mid-round crash, _seq resumes from
+        # the last COMMITTED manifest row, so the first writes of the
+        # resumed round re-allocate seq numbers whose dirs may already
+        # exist on disk (written by the crashed round, never committed).
+        # Those dirs are garbage by construction — the manifest is the
+        # commit point — so clobbering them is the correct resume.
+        df.write.mode("overwrite").parquet(d)
         self._dirs[name] = [d]
         return self.spark.read.parquet(d)
 
     def append(self, name: str, df: DataFrame, max_records_per_file: int = 0) -> DataFrame:
         d = self._new_dir(name)
-        w = df.write
+        w = df.write.mode("overwrite")
         if max_records_per_file:
             w = w.option("maxRecordsPerFile", max_records_per_file)
         w.parquet(d)
@@ -225,7 +231,7 @@ class ParquetCatalog:
     def append_delta(self, name: str, df: DataFrame, max_records_per_file: int = 0) -> DataFrame:
         """Append; return a reader over only the new delta files."""
         d = self._new_dir(name)
-        w = df.write
+        w = df.write.mode("overwrite")
         if max_records_per_file:
             w = w.option("maxRecordsPerFile", max_records_per_file)
         w.parquet(d)
