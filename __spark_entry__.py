@@ -224,6 +224,14 @@ def _q_jaccard_pairs(spark, sf):
     return jaccard_pairs(_docs(spark, sf), threshold=0.2)
 
 
+def _q_near_dup_pipeline(spark, sf):
+    """Composed dedup: LSH candidates → Jaccard verify on the candidate
+    pair set only (no shingle self-join anywhere in the plan)."""
+    from webcrawler_spark.operators.dedup import near_duplicate_pairs
+
+    return near_duplicate_pairs(_docs(spark, sf), threshold=0.2)
+
+
 def _q_simhash(spark, sf):
     from webcrawler_spark.operators.dedup import simhash
 
@@ -272,20 +280,15 @@ def _q_cosine_topk(spark, sf):
 
 
 def _q_embedding_near_dup(spark, sf):
-    """Exact pairwise cosine ≥ threshold (oracle-checkable tier)."""
-    from webcrawler_spark.operators.similarity import cosine
+    """Scale path: sign-LSH bucketed near-dup pairs (no cross join —
+    the oracle reproduces the md5-derived hyperplanes in SQL). The
+    exact crossJoin variant lives only in tests as a tiny-n oracle."""
+    from webcrawler_spark.operators.similarity import embedding_near_dup_pairs
 
     emb = spark.read.parquet(f"{sf}/embeddings.parquet").withColumn(
         "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
     )
-    left = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
-    right = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
-    return (
-        left.crossJoin(right)
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("sim"))
-        .filter(F.col("sim") >= 0.4)
-    )
+    return embedding_near_dup_pairs(emb, threshold=0.4, n_planes=6)
 
 
 def _q_sessionize(spark, sf):
@@ -420,6 +423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": _q_exact_dedup,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "jaccard_pairs": _q_jaccard_pairs,
+        "near_dup_pipeline": _q_near_dup_pipeline,
         "simhash": _q_simhash,
         "simhash_near_pairs": _q_simhash_near_pairs,
         "text_quality": _q_text_quality,
@@ -564,6 +568,35 @@ def oracle_sql() -> dict[str, str]:
             join sizes sb on sb.doc_id = b
             where round(inter / (sa.sz + sb.sz - inter), 6) >= 0.2
         """,
+        "near_dup_pipeline": f"""
+            with {_SHINGLES_CTE},
+            sig as (
+              select doc_id, b.band_id,
+                     min(md5(b.band_id || '|' || shingle)) as band_min
+              from sh cross join
+                   (select unnest(['0','1','2','3']) as band_id) b
+              group by doc_id, b.band_id
+            ),
+            cand as (
+              select distinct l.doc_id as a, r.doc_id as b
+              from sig l join sig r using (band_id, band_min)
+              where l.doc_id < r.doc_id
+            ),
+            sizes as (select doc_id, count(*) as sz from sh group by doc_id),
+            inter as (
+              select c.a, c.b, count(*) as inter
+              from cand c
+              join sh sa on sa.doc_id = c.a
+              join sh sb on sb.doc_id = c.b and sb.shingle = sa.shingle
+              group by c.a, c.b
+            )
+            select a, b,
+                   round(inter / (sa.sz + sb.sz - inter), 6) as jaccard
+            from inter
+            join sizes sa on sa.doc_id = a
+            join sizes sb on sb.doc_id = b
+            where round(inter / (sa.sz + sb.sz - inter), 6) >= 0.2
+        """,
         "simhash": """
             with words as (
               select doc_id, unnest(list_distinct(string_split(text, ' '))) as w
@@ -655,13 +688,31 @@ def oracle_sql() -> dict[str, str]:
             from scored
             qualify rank <= 10
         """,
+        # reproduces similarity.lsh_bucket_col exactly: hyperplane
+        # component (p, i) = (md5-hex-prefix % 1000)/1000 - 0.5, bucket =
+        # sign bits of the 6 projections, pairs joined within-bucket only
         "embedding_near_dup": """
-            select a.vec_id as a, b.vec_id as b,
-                   round(list_cosine_similarity(a.embedding::DOUBLE[],
-                                                b.embedding::DOUBLE[]), 6) as sim
-            from embeddings a join embeddings b on a.vec_id < b.vec_id
-            where round(list_cosine_similarity(a.embedding::DOUBLE[],
-                                               b.embedding::DOUBLE[]), 6) >= 0.4
+            with e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+            proj as (
+              select vec_id, p.p,
+                     list_sum(list_transform(generate_series(0, len(v) - 1),
+                       i -> v[i + 1] *
+                            ((('0x' || substr(md5(p.p::VARCHAR || ',' || i::VARCHAR),
+                                              1, 8))::UBIGINT % 1000)
+                             / 1000.0 - 0.5))) as pr
+              from e cross join (select unnest(generate_series(0, 5)) as p) p
+            ),
+            buck as (
+              select vec_id,
+                     sum(case when pr > 0 then (1::BIGINT << p) else 0 end)::BIGINT
+                       as bucket
+              from proj group by vec_id
+            ),
+            be as (select b.vec_id, b.bucket, e.v from buck b join e using (vec_id))
+            select l.vec_id as a, r.vec_id as b,
+                   round(list_cosine_similarity(l.v, r.v), 6) as sim
+            from be l join be r on l.bucket = r.bucket and l.vec_id < r.vec_id
+            where round(list_cosine_similarity(l.v, r.v), 6) >= 0.4
         """,
         "sessionize": """
             with g as (

@@ -8,9 +8,9 @@ from hypothesis import strategies as st
 
 from webcrawler_spark.operators.bloom import (
     _bit_positions,
-    _hash2,
     anti_join_with_bloom,
     build_bloom,
+    hash_cols,
     optimal_bits,
 )
 
@@ -41,18 +41,27 @@ def test_tiny_filter_heavy_fp_still_correct(spark):
     assert got == {f"u{i}" for i in range(100, 300)}
 
 
-@given(st.lists(st.text(min_size=1, max_size=30), max_size=40, unique=True))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2**64 - 1), st.integers(0, 2**64 - 1)
+        ),
+        max_size=40,
+        unique=True,
+    )
+)
 @settings(max_examples=30, deadline=None)
-def test_bloom_membership_no_false_negatives(urls):
-    """Pure-numpy property: every inserted key probes positive."""
+def test_bloom_membership_no_false_negatives(hashes):
+    """Pure-numpy property over arbitrary 64-bit hash pairs (the hash
+    family itself is native xxhash64): every inserted key probes
+    positive."""
     import numpy as np
-    import pandas as pd
 
-    if not urls:
+    if not hashes:
         return
-    m = optimal_bits(len(urls))
-    s = pd.Series(urls)
-    h1, h2 = _hash2(s)
+    m = optimal_bits(len(hashes))
+    h1 = np.array([a for a, _ in hashes], dtype=np.uint64)
+    h2 = np.array([b for _, b in hashes], dtype=np.uint64)
     pos = _bit_positions(h1, h2, m)
     bitmap = np.zeros(m // 8, dtype=np.uint8)
     flat = pos.ravel()
@@ -74,7 +83,10 @@ def test_build_bloom_distributed_matches_local(spark):
     got = build_bloom(df, "url", m)
 
     local = np.zeros(m // 8, dtype=np.uint8)
-    h1, h2 = _hash2(pd.Series(urls))
+    c1, c2 = hash_cols("url")
+    hpd = df.select(c1.alias("h1"), c2.alias("h2")).toPandas()
+    h1 = hpd["h1"].to_numpy(np.int64).view(np.uint64)
+    h2 = hpd["h2"].to_numpy(np.int64).view(np.uint64)
     pos = _bit_positions(h1, h2, m).ravel()
     np.bitwise_or.at(
         local, (pos // 8).astype(np.int64), (1 << (pos % 8)).astype(np.uint8)

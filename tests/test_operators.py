@@ -56,6 +56,20 @@ def test_jaccard_pairs(docs):
     assert (0, 4) not in rows
 
 
+def test_near_duplicate_pairs_composed(docs):
+    """Composed LSH→Jaccard == standalone Jaccard restricted to LSH
+    candidates, with identical jaccard values."""
+    composed = {(r["a"], r["b"]): r["jaccard"] for r in
+                dedup.near_duplicate_pairs(docs, threshold=0.4).collect()}
+    exact = {(r["a"], r["b"]): r["jaccard"] for r in
+             dedup.jaccard_pairs(docs, threshold=0.4).collect()}
+    cands = {(r["a"], r["b"]) for r in
+             dedup.lsh_candidate_pairs(docs).collect()}
+    assert composed == {p: j for p, j in exact.items() if p in cands}
+    assert (0, 3) in composed and composed[(0, 3)] == 1.0
+    assert (0, 1) in composed
+
+
 def test_simhash_hamming(docs):
     pairs = {(r["a"], r["b"]): r["hamming"] for r in
              dedup.simhash_near_pairs(docs, max_hamming=6).collect()}
@@ -95,6 +109,34 @@ def test_embedding_near_dup_pairs(embeddings):
     pairs = {(r["a"], r["b"]) for r in
              similarity.embedding_near_dup_pairs(embeddings, 0.999).collect()}
     assert (3, 7) in pairs
+
+
+def test_bucketed_near_dup_vs_exact_crossjoin(embeddings):
+    """Tiny-n oracle for the scale path: the bucketed pairs must be a
+    SUBSET of the exact crossJoin pairs (bucketing only prunes, never
+    invents) with identical sims, must catch the planted near-dup, and
+    the plan must contain no cartesian product."""
+    bucketed = similarity.embedding_near_dup_pairs(embeddings, 0.4, n_planes=6)
+    exact = (
+        embeddings.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+        .crossJoin(
+            embeddings.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+        )
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a", "b",
+            F.round(similarity.cosine(F.col("va"), F.col("vb")), 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= 0.4)
+    )
+    got = {(r["a"], r["b"]): r["sim"] for r in bucketed.collect()}
+    want = {(r["a"], r["b"]): r["sim"] for r in exact.collect()}
+    assert set(got) <= set(want)
+    assert all(want[p] == s for p, s in got.items())
+    assert (3, 7) in got               # planted near-identical pair survives
+    plan = bucketed._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_textstats_and_quality(spark):

@@ -14,14 +14,17 @@ never-seen URL, so the filter only routes rows:
 
 Implementation is numpy end-to-end and fully distributed:
 
-* build: ``mapInPandas`` over the seen table computes one partial
-  bitmap per partition (k=4 index functions derived from two
-  ``xxhash64``-style 64-bit hashes, the standard Kirsch-Mitzenmacher
-  double-hashing construction); partials are OR-merged. Driver memory
+* hashes: the two 64-bit hashes are NATIVE ``xxhash64`` columns
+  (JVM-side, whole-stage codegen) computed before any Python stage;
+  k=4 bit indices come from the standard Kirsch-Mitzenmacher
+  double-hashing construction applied in numpy. No per-row Python
+  hashing anywhere on the J1 hot path.
+* build: ``mapInPandas`` over the hashed seen table computes one
+  partial bitmap per partition; partials are OR-merged. Driver memory
   = one bitmap, not one row set.
 * probe: the bitmap ships to executors as a Spark broadcast; a pandas
-  UDF tests k bits per URL with vectorized numpy ops (no per-row
-  Python).
+  UDF tests k bits per URL with vectorized numpy ops over the two
+  hash columns.
 * sharding: ``n_shards > 1`` splits the bit space by
   ``pmod(hash, n_shards)`` so each shard's bitmap stays below a target
   size — at 10^10 URLs / 1% fpp the monolithic filter is ~12 GiB,
@@ -32,27 +35,32 @@ Implementation is numpy end-to-end and fully distributed:
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 K_HASHES = 4
 
+# second-hash salt: xxhash64(url) and xxhash64(url, salt) give the two
+# independent 64-bit hashes the Kirsch-Mitzenmacher construction needs
+_SALT = "#wcspark-bloom-h2"
 
-def _hash2(urls: pd.Series) -> tuple[np.ndarray, np.ndarray]:
-    """Two independent 64-bit hashes per URL (vectorized enough: one
-    digest per row, numpy everything after)."""
-    h1 = np.empty(len(urls), dtype=np.uint64)
-    h2 = np.empty(len(urls), dtype=np.uint64)
-    for i, u in enumerate(urls):
-        d = hashlib.blake2b((u or "").encode("utf-8"), digest_size=16).digest()
-        h1[i] = int.from_bytes(d[:8], "little")
-        h2[i] = int.from_bytes(d[8:], "little")
-    return h1, h2
+
+def hash_cols(col: str | Column) -> tuple[Column, Column]:
+    """The Bloom hash family as NATIVE columns (whole-stage codegen,
+    JVM-side) — the Python stages below only do numpy bit arithmetic.
+    nulls hash as '' so build and probe agree on them."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.coalesce(c, F.lit(""))
+    return F.xxhash64(c), F.xxhash64(c, F.lit(_SALT))
+
+
+def _as_u64(s: pd.Series) -> np.ndarray:
+    """Arrow int64 hash column -> uint64 bit pattern."""
+    return s.to_numpy(dtype=np.int64).view(np.uint64)
 
 
 def _bit_positions(h1: np.ndarray, h2: np.ndarray, m_bits: int) -> np.ndarray:
@@ -77,6 +85,8 @@ def build_bloom(df: DataFrame, col: str, m_bits: int) -> np.ndarray:
     hash family under our control so the probe side can be numpy.
     """
     m_bytes = m_bits // 8
+    c1, c2 = hash_cols(col)
+    hashed = df.select(c1.alias("h1"), c2.alias("h2"))
 
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bitmap = np.zeros(m_bytes, dtype=np.uint8)
@@ -85,13 +95,14 @@ def build_bloom(df: DataFrame, col: str, m_bits: int) -> np.ndarray:
             if len(pdf) == 0:
                 continue
             any_rows = True
-            h1, h2 = _hash2(pdf[col])
-            pos = _bit_positions(h1, h2, m_bits).ravel()
+            pos = _bit_positions(
+                _as_u64(pdf["h1"]), _as_u64(pdf["h2"]), m_bits
+            ).ravel()
             np.bitwise_or.at(bitmap, (pos // 8).astype(np.int64), (1 << (pos % 8)).astype(np.uint8))
         if any_rows:
             yield pd.DataFrame({"bitmap": [bitmap.tobytes()]})
 
-    partials = df.select(col).mapInPandas(partial, "bitmap binary").collect()
+    partials = hashed.mapInPandas(partial, "bitmap binary").collect()
     out = np.zeros(m_bytes, dtype=np.uint8)
     for row in partials:
         out |= np.frombuffer(row["bitmap"], dtype=np.uint8)
@@ -102,16 +113,16 @@ def with_maybe_seen(df: DataFrame, col: str, bitmap_bc, m_bits: int) -> DataFram
     """Add boolean ``maybe_seen``: False ⇒ *certainly* not in the built set."""
 
     @F.pandas_udf("boolean")
-    def probe(urls: pd.Series) -> pd.Series:
+    def probe(h1s: pd.Series, h2s: pd.Series) -> pd.Series:
         bitmap = np.frombuffer(bitmap_bc.value, dtype=np.uint8)
-        if len(urls) == 0:
+        if len(h1s) == 0:
             return pd.Series([], dtype=bool)
-        h1, h2 = _hash2(urls)
-        pos = _bit_positions(h1, h2, m_bits)
+        pos = _bit_positions(_as_u64(h1s), _as_u64(h2s), m_bits)
         bits = (bitmap[(pos // 8).astype(np.int64)] >> (pos % 8).astype(np.uint8)) & 1
         return pd.Series(bits.all(axis=1))
 
-    return df.withColumn("maybe_seen", probe(F.col(col)))
+    c1, c2 = hash_cols(col)
+    return df.withColumn("maybe_seen", probe(c1, c2))
 
 
 def anti_join_with_bloom(

@@ -186,6 +186,53 @@ def jaccard_pairs(
     )
 
 
+def near_duplicate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Composed dedup pipeline: LSH candidates → exact Jaccard verify.
+
+    This is the form a 100 TB dedup actually runs: the shingle table is
+    NEVER self-joined. The candidate pair set is fixed first (banded
+    MinHash bucket join, candidate-bounded), then intersection counts
+    come from joining the pair list against each side's shingles —
+    row counts are Σ|shingles(a)| over candidate pairs, so a hot
+    shingle key cannot explode the plan the way the standalone
+    ``jaccard_pairs`` self-join can (its docstring marks it as the
+    small-corpus/oracle tier).
+
+    Output matches ``jaccard_pairs`` restricted to the LSH candidate
+    set: (a, b, jaccard) with jaccard ≥ threshold.
+    """
+    cand = lsh_candidate_pairs(df, id_col, text_col, n, bands)
+    sh = explode_shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    inter = (
+        cand.join(sh.select(F.col(id_col).alias("a"), "shingle"), "a")
+        .join(sh.select(F.col(id_col).alias("b"), "shingle"), ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza")), "a"
+        )
+        .join(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("szb")), "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

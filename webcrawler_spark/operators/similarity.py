@@ -62,9 +62,22 @@ def cosine_topk(
     )
     from pyspark.sql import Window
 
+    # Two-level top-k so no stage ever globally sorts the full scan:
+    # each scan partition keeps its local top-k (one pass, no shuffle),
+    # then the final window ranks only <= k * n_partitions survivors in
+    # a single tiny task. Same result as a global row_number window.
+    w_local = Window.partitionBy("__pid").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    survivors = (
+        scored.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__lr", F.row_number().over(w_local))
+        .filter(F.col("__lr") <= k)
+        .drop("__pid", "__lr")
+    )
     w = Window.orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        survivors.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("neighbor_id", "sim", "rank")
     )
