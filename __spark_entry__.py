@@ -181,6 +181,92 @@ def _q_url_parse(spark, sf):
     )
 
 
+def _q_format_links(spark, sf):
+    """P8 — the Parser.py:26-46 truth table through the REAL vectorized
+    UDF (format_links_udf): one generated href per doc covering every
+    branch (empty, pure-fragment, fragment-strip, root-relative,
+    http→https rewrite, https kept, relative/mailto dropped). Inputs are
+    pre-normalized ASCII so the P1 step is identity and the oracle is a
+    pure CASE table."""
+    from webcrawler_spark.functions.urltools import format_links_udf
+
+    d = _docs(spark, sf)
+    href = (
+        F.when(F.col("doc_id") % 7 == 0, F.lit(""))
+        .when(F.col("doc_id") % 7 == 1, F.lit("#frag"))
+        .when(
+            F.col("doc_id") % 7 == 2,
+            F.concat(F.lit("/page/"), F.col("doc_id").cast("string")),
+        )
+        .when(
+            F.col("doc_id") % 7 == 3,
+            F.concat(
+                F.lit("http://ext"), F.col("doc_id").cast("string"), F.lit(".example/x")
+            ),
+        )
+        .when(
+            F.col("doc_id") % 7 == 4,
+            F.concat(
+                F.lit("https://ext"),
+                F.col("doc_id").cast("string"),
+                F.lit(".example/y#sec"),
+            ),
+        )
+        .when(F.col("doc_id") % 7 == 5, F.lit("relative/path"))
+        .otherwise(F.lit("mailto:someone@example.org"))
+    )
+    host = F.concat(F.lit("https://"), F.col("source"), F.lit(".example"))
+    return d.select(
+        "doc_id",
+        href.alias("href"),
+        F.coalesce(
+            F.try_element_at(format_links_udf(F.array(href), host), F.lit(1)),
+            F.lit(""),
+        ).alias("formatted"),
+    )
+
+
+def _q_normalize_url(spark, sf):
+    """P1 — normalize_url_udf over ASCII inputs exercising case folding,
+    default-port strip, dot-segment removal, trailing-dot host, empty
+    path, and percent-decode of unreserved chars; the oracle states the
+    expected output per branch independently."""
+    from webcrawler_spark.functions.urltools import normalize_url_udf
+
+    d = _docs(spark, sf)
+    sid = F.col("doc_id").cast("string")
+    raw = (
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit("https://"), F.col("source"), F.lit(".example")),
+        )
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(
+                F.lit("HTTP://"), F.upper(F.col("source")), F.lit(".EXAMPLE:80/a/b")
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 2,
+            F.concat(
+                F.lit("https://"), F.col("source"), F.lit(".example/a/./b/../c")
+            ),
+        )
+        .when(
+            F.col("doc_id") % 5 == 3,
+            F.concat(F.lit("https://"), F.col("source"), F.lit(".example./x/"), sid),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://"), F.col("source"), F.lit(".example/%7Euser/%41bc")
+            )
+        )
+    )
+    return d.select(
+        "doc_id", raw.alias("raw"), normalize_url_udf(raw).alias("normalized")
+    )
+
+
 def _q_first20_words(spark, sf):
     """P10 — first-20-words debug projection (DebugPrinter contract)."""
     d = _docs(spark, sf)
@@ -417,6 +503,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fifo_first_event": _q_fifo_first_event,
         "priority_topk": _q_priority_topk,
         "url_parse": _q_url_parse,
+        "format_links": _q_format_links,
+        "normalize_url": _q_normalize_url,
         "first20_words": _q_first20_words,
         "host_counts": _q_host_counts,
         "distinct_pairs": _q_distinct_pairs,
@@ -521,6 +609,47 @@ def oracle_sql() -> dict[str, str]:
                     and substr(url, length(url) - 3) not in ('tiff','jpeg'))
                      as ext_ok
             from p
+        """,
+        "format_links": """
+            with h as (
+              select doc_id,
+                     case doc_id % 7
+                       when 0 then ''
+                       when 1 then '#frag'
+                       when 2 then '/page/' || doc_id::VARCHAR
+                       when 3 then 'http://ext' || doc_id::VARCHAR || '.example/x'
+                       when 4 then 'https://ext' || doc_id::VARCHAR || '.example/y#sec'
+                       when 5 then 'relative/path'
+                       else 'mailto:someone@example.org'
+                     end as href,
+                     'https://' || source || '.example' as host
+              from documents)
+            select doc_id, href,
+                   case doc_id % 7
+                     when 2 then host || '/page/' || doc_id::VARCHAR
+                     when 3 then 'https://ext' || doc_id::VARCHAR || '.example/x'
+                     when 4 then 'https://ext' || doc_id::VARCHAR || '.example/y'
+                     else ''
+                   end as formatted
+            from h
+        """,
+        "normalize_url": """
+            select doc_id,
+                   case doc_id % 5
+                     when 0 then 'https://' || source || '.example'
+                     when 1 then 'HTTP://' || upper(source) || '.EXAMPLE:80/a/b'
+                     when 2 then 'https://' || source || '.example/a/./b/../c'
+                     when 3 then 'https://' || source || '.example./x/' || doc_id::VARCHAR
+                     else 'https://' || source || '.example/%7Euser/%41bc'
+                   end as raw,
+                   case doc_id % 5
+                     when 0 then 'https://' || source || '.example/'
+                     when 1 then 'http://' || source || '.example/a/b'
+                     when 2 then 'https://' || source || '.example/a/c'
+                     when 3 then 'https://' || source || '.example/x/' || doc_id::VARCHAR
+                     else 'https://' || source || '.example/~user/Abc'
+                   end as normalized
+            from documents
         """,
         "first20_words": """
             select doc_id,

@@ -156,6 +156,40 @@ def test_salted_selection_equivalent(spark, pages):
     assert a == b
 
 
+def test_wave_join_fallback_equivalent(spark, pages):
+    """O13: forcing every wave join down the shuffle-hash fallback
+    (wave_broadcast_max_rows=0) must produce the identical crawl —
+    broadcast vs shuffle is a physical choice only."""
+    eng = CrawlEngine(
+        spark, pages, config=CrawlConfig(max_rounds=40, wave_broadcast_max_rows=0)
+    )
+    eng.run(seeds_df(spark))
+    plain = CrawlEngine(spark, pages, config=CrawlConfig(max_rounds=40))
+    plain.run(seeds_df(spark))
+    assert (
+        {(r["url"], r["fetched"]) for r in eng.seen().collect()}
+        == {(r["url"], r["fetched"]) for r in plain.seen().collect()}
+    )
+
+
+def test_many_hosts_round(spark):
+    """Scheduling state stays slim: a round over a 50k-host frontier
+    completes with the body-free broadcast (and the host_robots table
+    holds the admission records exactly once per host)."""
+    from webcrawler_spark.sources.synthetic_web import big_web_seeds, build_big_web
+
+    n_hosts = 50_000
+    pages = build_big_web(spark, num_hosts=n_hosts, pages_per_host=2, links_per_page=2)
+    seeds = big_web_seeds(spark, num_hosts=n_hosts, every=1)  # seed every host
+    eng = CrawlEngine(spark, pages, config=CrawlConfig(max_rounds=1))
+    eng.run(seeds)
+    assert eng.state.total_hosts == n_hosts
+    robots = eng.cat.read("host_robots")
+    assert robots.count() == n_hosts
+    assert robots.select("host").distinct().count() == n_hosts
+    assert eng.state.total_fetched > 0
+
+
 def test_bloom_path_equivalent(spark, pages):
     """O5: Bloom pre-filtered J1 produces the identical crawl (no false
     drops — SURVEY.md §7.4(4))."""

@@ -31,7 +31,10 @@ Scale design (10^10 URLs, 1000 executors):
 * frontier/seen are bucketed by ``pmod(xxhash64(host), n_buckets)`` —
   the J1 anti-join, the W3 window, and the host_state join all shuffle
   on host, so one well-chosen layout serves every stage (O3/O12).
-* host_policy is broadcast (J2, O4); pages gate-join reads only
+* the scheduling table is SLIM (host, delay, priority, ever_popped) and
+  broadcast (J2, O4) behind a size gate (O13) that falls back to a
+  shuffle-hash join; robots bodies live in an append-only host_robots
+  table joined per-wave only. pages gate-join reads only
   (url, status, content_type) and the html column is joined *only for
   fetched rows* — the reference's HEAD-before-GET two-phase fetch
   becomes column pruning (O2).
@@ -98,6 +101,13 @@ class CrawlConfig:
     # compact the seen table every N rounds (0 = never): bounds the
     # delta fan-in the J1 anti-join reads on very long crawls
     compact_seen_every: int = 16
+    # O13: max rows on the small side of a wave join before the engine
+    # stops broadcasting it and falls back to a shuffle-hash join. A
+    # round wave is hosts × max_urls_per_host_per_round and is unbounded
+    # at 10^10-URL scale; past this cap a broadcast would exceed driver/
+    # executor memory and fail the round. 0 forces the fallback path
+    # everywhere (used by the equivalence test).
+    wave_broadcast_max_rows: int = 4_000_000
 
     @staticmethod
     def sequential_parity_mode(limit: Optional[int] = None) -> "CrawlConfig":
@@ -120,14 +130,16 @@ class CrawlState:
     curr_max: float = 0.0
     total_fetched: int = 0
     total_attempted: int = 0
+    total_hosts: int = 0                 # drives the O13 scheduling-join gate
     first_host_assigned: bool = False
     done: bool = False
     # W2 medium priority snapshot for hosts discovered last round:
     # in the reference, a new host's medium is computed at add_link
-    # time, BEFORE the discovering host's own re-queue bumps currMax
-    # (Worker.py:143-147 runs inside the links loop; the re-queue at
-    # Worker.py:197-198 runs after it). pending_medium carries that
-    # pre-requeue value across the round boundary.
+    # time (Worker.py:144-147), interleaved with any revive bumps of
+    # currMaxDelay from earlier links in the same loop
+    # (Worker.py:128-132). Round-granular approximation: pending_medium
+    # carries the pre-bump value across the round boundary. (The
+    # post-fetch re-push, Worker.py:199-200, never bumps currMax.)
     pending_medium: Optional[float] = None
 
     def to_json(self) -> dict:
@@ -148,9 +160,19 @@ class CrawlState:
         return max(0.0, (self.curr_max - self.curr_min) / 2)
 
 
+# scheduling state is SLIM (no robots bodies): it is broadcast into the
+# frontier join every round, and at 10^8 hosts a broadcast carrying
+# every robots.txt ever fetched would be the engine's scale-killer.
 _HOST_STATE_SCHEMA = (
+    "host string, delay double, priority double, ever_popped boolean"
+)
+# immutable per-host admission record, append-only (one delta per round
+# holding only that round's NEW hosts): robots verdict + body + the
+# initial priority. Bodies are joined back per-wave, never broadcast
+# wholesale.
+_HOST_ROBOTS_SCHEMA = (
     "host string, robots_ok boolean, robots_body string, delay double,"
-    " priority double, ever_popped boolean"
+    " priority double"
 )
 _FRONTIER_SCHEMA = (
     "url string, host string, resource string, bucket int, depth int,"
@@ -200,6 +222,18 @@ class CrawlEngine:
 
     def _bucket(self, host: F.Column) -> F.Column:
         return F.pmod(F.xxhash64(host), F.lit(self.cfg.n_buckets)).cast("int")
+
+    def _wave_join(
+        self, big: DataFrame, small: DataFrame, on, how: str, n_small: int
+    ) -> DataFrame:
+        """O13 size-gated wave join: broadcast the small (wave) side
+        while it fits, else shuffle-hash. The corpus side is the big
+        side either way — it is never collected to the driver, and in
+        the fallback it hash-shuffles once on the join key (AQE handles
+        skew) instead of failing an over-limit broadcast."""
+        if n_small > self.cfg.wave_broadcast_max_rows:
+            return big.join(small.hint("shuffle_hash"), on, how)
+        return big.join(F.broadcast(small), on, how)
 
     def _politeness_apply_in_pandas(self, sel: DataFrame, t_round: float) -> DataFrame:
         """W4 as a grouped-map executor (north_star shape): one pandas
@@ -262,6 +296,9 @@ class CrawlEngine:
         self.cat.overwrite("seen", empty)
         self.cat.overwrite(
             "host_state", self.spark.createDataFrame([], _HOST_STATE_SCHEMA)
+        )
+        self.cat.overwrite(
+            "host_robots", self.spark.createDataFrame([], _HOST_ROBOTS_SCHEMA)
         )
         self.state = CrawlState()
         self.cat.commit_round(-1, self.state.to_json())
@@ -350,8 +387,8 @@ class CrawlEngine:
             self.state.first_host_assigned = True
         else:
             parsed = parsed.withColumn("priority", F.lit(medium))
-        return parsed.withColumn("ever_popped", F.lit(False)).select(
-            "host", "robots_ok", "robots_body", "delay", "priority", "ever_popped"
+        return parsed.select(
+            "host", "robots_ok", "robots_body", "delay", "priority"
         )
 
     # ------------------------------------------------------------------
@@ -375,17 +412,31 @@ class CrawlEngine:
             self.cat.commit_round(st.round, st.to_json())
             return {"round": st.round, "attempted": 0, "fetched": 0, "stopped": "budget"}
 
-        # ---- S2: lazily admit new hosts into host_state ---------------
-        # (kept lazy; the merged state is checkpointed once at round end)
+        # ---- S2: admit new hosts ---------------------------------------
+        # the admission record (robots verdict + body + initial priority)
+        # is written ONCE as this round's host_robots delta; the slim
+        # scheduling row is derived from the written delta, so the
+        # robots-parse UDF runs exactly once per new host per crawl and
+        # bodies never enter the broadcast scheduling table.
         new_hosts = self._robots_for_new_hosts(frontier, host_state)
-        host_state = host_state.unionByName(new_hosts)
+        new_delta = self.cat.append_delta("host_robots", new_hosts)
+        st.total_hosts += new_delta.count()  # parquet-footer count, cheap
+        host_state = host_state.unionByName(
+            new_delta.select("host", "delay", "priority").withColumn(
+                "ever_popped", F.lit(False)
+            )
+        )
 
         # ---- J2 + W1/W3 scheduling -------------------------------------
         # note: no global clock jump here — a skipped pop must not
         # advance the clock (Worker.py:209-216 waits only on fetches);
         # the per-row greatest(clock, priority) below is the wait.
         t_round = st.clock
-        cand = frontier.join(F.broadcast(host_state), "host")
+        # J2: slim scheduling join (no robots bodies) — broadcast while
+        # the host universe fits, shuffle-hash on host past the gate
+        cand = self._wave_join(
+            frontier, host_state, "host", "inner", st.total_hosts
+        )
 
         if cfg.salt_n > 1:
             # O9: two-phase top-B per host so one mega-host cannot
@@ -439,16 +490,31 @@ class CrawlEngine:
         # sort-merge of the pages table would dwarf everything else.
         _tt = self._t('pre-cand', _tt)
         cand = checkpoint(cand)
+        n_cand = cand.count()  # cached blocks — cheap; drives the O13 gates
         _tt = self._t('cand ckpt', _tt)
-        cand_meta = self.pages_meta.join(
-            F.broadcast(cand.select("url")), "url"
+        cand_meta = self._wave_join(
+            self.pages_meta, cand.select("url"), "url", "inner", n_cand
+        )
+        # F2 inputs: robots bodies for THIS WAVE's hosts only — joined
+        # from the append-only host_robots table, never broadcast
+        # wholesale (the scheduling broadcast above is body-free)
+        wave_robots = self._wave_join(
+            self.cat.read("host_robots").select("host", "robots_body"),
+            cand.select("host").distinct(),
+            "host",
+            "inner",
+            n_cand,
         )
         sel = (
-            cand.withColumn("ext_ok", extension_filter_col(F.col("url")))   # F1
+            self._wave_join(cand, wave_robots, "host", "left", n_cand)
+            .withColumn("ext_ok", extension_filter_col(F.col("url")))       # F1
             .withColumn(
                 "allowed", robots_allowed_udf(F.col("url"), F.col("robots_body"))
             )                                                                # F2
-            .join(F.broadcast(cand_meta), "url", "left")                     # S3/J3
+            .drop("robots_body")  # bodies must not enter the sel checkpoint
+        )
+        sel = (
+            self._wave_join(sel, cand_meta, "url", "left", n_cand)           # S3/J3
             .withColumn(
                 "head_ok",
                 F.col("status").isNotNull()
@@ -536,7 +602,9 @@ class CrawlEngine:
             "rn_host", "attempt_ts", "delay",
         )
         fetched_full = (
-            self.pages_html.join(F.broadcast(fetch_keys), "url", "inner")    # S4
+            self._wave_join(                                                 # S4
+                self.pages_html, fetch_keys, "url", "inner", n_fetched_round
+            )
             .withColumn("_p", parse_page_udf(F.col("html"), F.col("host")))  # P6-P11
             .drop("html")
             .select(
@@ -586,8 +654,8 @@ class CrawlEngine:
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        remaining_frontier = frontier.join(
-            F.broadcast(sel.select("url")), "url", "left_anti"
+        remaining_frontier = self._wave_join(
+            frontier, sel.select("url"), "url", "left_anti", int(scal["n_att"] or 0)
         )
         # J1: never re-attempt (seen) and never double-queue (pending)
         if cfg.use_bloom:
@@ -670,7 +738,7 @@ class CrawlEngine:
                 "revive_ts", F.lit(None).cast("double")
             )
         host_state2 = host_state2.select(
-            "host", "robots_ok", "robots_body", "delay",
+            "host", "delay",
             F.coalesce("revive_ts", "requeue_ts", "priority").alias("priority"),
             (F.col("ever_popped") | F.col("attempted").isNotNull()).alias(
                 "ever_popped"
@@ -698,17 +766,6 @@ class CrawlEngine:
 
         # ---- driver-scalar updates (the old locked globals) ------------
         min_popped = scal["min_popped"]
-        # currMax only moves when a host is actually RE-PUSHED, i.e. it
-        # still has pending URLs after the pop (Worker.py:197-198 runs
-        # only then; a drained host is never re-queued, so its would-be
-        # requeue ts must not leak into the W2 medium)
-        max_requeue = (
-            host_updates.join(
-                new_frontier.select("host").distinct(), "host"
-            )
-            .agg(F.max("requeue_ts"))
-            .first()[0]
-        )
         max_fetch_ts = scal["max_fetch_ts"]
         n_attempted = scal["n_att"] or 0
         max_revive = max((r["revive_ts"] for r in revived_rows), default=None)
@@ -716,13 +773,18 @@ class CrawlEngine:
         if min_popped is not None and (
             st.curr_min is None or min_popped < st.curr_min
         ):
-            st.curr_min = min_popped                    # Worker.py:183-184
-        # snapshot the W2 medium BEFORE this round's re-queues bump
-        # currMax (see CrawlState.pending_medium note)
+            st.curr_min = min_popped                    # Worker.py:185-186
+        # snapshot the W2 medium BEFORE this round's revive bumps
+        # (see CrawlState.pending_medium note)
         st.pending_medium = st.medium_priority
-        for v in (max_requeue, max_revive):
-            if v is not None and v > st.curr_max:
-                st.curr_max = v                         # Worker.py:131-132
+        # currMax moves ONLY on the revive path: the reference bumps
+        # currMaxDelay in addLinkToRequest when a KNOWN idle host
+        # receives a link (Worker.py:128-132); the post-fetch re-push
+        # (Worker.py:199-200) never touches it. (Earlier versions also
+        # bumped on every re-queue — a documented deviation, now fixed;
+        # this also removes a whole per-round driver job.)
+        if max_revive is not None and max_revive > st.curr_max:
+            st.curr_max = max_revive                    # Worker.py:130-132
         if max_fetch_ts is not None and max_fetch_ts > st.clock:
             st.clock = max_fetch_ts
 

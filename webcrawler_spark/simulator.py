@@ -218,10 +218,11 @@ class ReferenceSimulator:
         return res
 
     def _requeue_after_fetch(self, host: str, h: SimHost) -> None:
-        ts = self.t + h.delay
-        if ts > self.curr_max:
-            self.curr_max = ts
-        self._push(host, ts)
+        # NB: the post-fetch re-push does NOT bump currMaxDelay — the
+        # reference only bumps it on the revive path inside
+        # addLinkToRequest (Worker.py:128-132); the re-push at
+        # Worker.py:199-200 pushes without touching it.
+        self._push(host, self.t + h.delay)
 
 
 def pages_df_to_dict(pages_rows) -> dict[str, dict]:
