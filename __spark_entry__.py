@@ -467,6 +467,29 @@ def _q_multimodal_rowsonly(spark, sf):
     )
 
 
+def _q_warc_rowsonly(spark, sf):
+    """S5 interchange: WARC/1.1 gzip sink → distributed source
+    round-trip over the documents-derived pages (no SQL analog — the
+    payload-digest equality is pinned in tests/test_warc.py)."""
+    import tempfile
+
+    from webcrawler_spark.sources.synthetic_web import pages_from_documents
+    from webcrawler_spark.sources.warc import (
+        read_warc,
+        save_pages_warc,
+        warc_input_for_crawl,
+    )
+
+    out = tempfile.mkdtemp(prefix="wcspark-warc-")
+    pages = warc_input_for_crawl(pages_from_documents(spark, sf))
+    save_pages_warc(pages, out, records_per_file=1000)
+    return (
+        read_warc(spark, out + "/*.warc.gz")
+        .groupBy("status", "content_type")
+        .agg(F.count("*").alias("n_records"))
+    )
+
+
 def _q_crawl_rowsonly(spark, sf):
     """The crawl itself at this scale factor (quiescence run, no budget):
     per-host attempted/fetched counts from the seen table."""
@@ -524,6 +547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_antijoin_rowsonly": _q_bloom_antijoin_rowsonly,
         "lsh_ann_rowsonly": _q_lsh_ann_rowsonly,
         "multimodal_rowsonly": _q_multimodal_rowsonly,
+        "warc_rowsonly": _q_warc_rowsonly,
         "crawl_rowsonly": _q_crawl_rowsonly,
     }
 

@@ -34,6 +34,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--records-per-file", type=int, default=1000,
         help="output rotation (reference WARC parity: 1000 pages/file)",
     )
+    p.add_argument(
+        "--warc-dir", default=None,
+        help="also write fetched pages as WARC/1.1 gzip records"
+        " (WarcFileSave.py interchange format)",
+    )
     return p
 
 
@@ -73,6 +78,23 @@ def main(argv=None) -> int:
         )
         session = crawl(
             spark, pages, seeds, catalog_root=args.catalog, config=cfg, verbose=True
+        )
+
+    if args.warc_dir:  # S5 interchange sink
+        from webcrawler_spark.sources.warc import save_pages_warc
+
+        warc_src = pages.join(
+            session.pages_fetched.select("url", "fetch_ts"), "url"
+        ).select(
+            "url", "status", "content_type",
+            F.col("html").alias("payload"), "fetch_ts",
+        )
+        manifest = save_pages_warc(
+            warc_src, args.warc_dir, records_per_file=args.records_per_file
+        )
+        print(
+            f"wrote {sum(m['n_records'] for m in manifest)} WARC records"
+            f" in {len(manifest)} files to {args.warc_dir}"
         )
 
     if args.debug:  # S6
