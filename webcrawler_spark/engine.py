@@ -75,6 +75,24 @@ from webcrawler_spark.tables import MemoryCatalog, ParquetCatalog
 SEQ_STRIDE = 1 << 40  # per-round discovered_seq base; FIFO across rounds
 
 
+def _join_jobs(*thunks):
+    """Run independent Spark actions from concurrent driver threads.
+
+    Spark's scheduler accepts jobs from any driver thread; small
+    bookkeeping writes (seen append, host_state overwrite) rarely fill
+    the executor slots, so overlapping them with the round's big job
+    removes their full wall-clock cost instead of serializing ~1s of
+    fixed latency per table per round. Results keep argument order;
+    the first raised exception propagates after all jobs settle."""
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as ex:
+        futures = [ex.submit(t) for t in thunks]
+        return [f.result() for f in futures]
+
+
 @dataclass
 class CrawlConfig:
     limit: Optional[int] = None          # A1 page budget (-n)
@@ -141,6 +159,12 @@ class CrawlState:
     # carries the pre-bump value across the round boundary. (The
     # post-fetch re-push, Worker.py:199-200, never bumps currMax.)
     pending_medium: Optional[float] = None
+    # row count of the committed frontier snapshot, observed for free
+    # on the overwrite (Observation API) — makes the D4 quiescence
+    # check a dict lookup instead of a per-round isEmpty() job.
+    # None ⇒ unknown (fresh init / pre-upgrade manifest): fall back to
+    # isEmpty() once.
+    frontier_rows: Optional[int] = None
 
     def to_json(self) -> dict:
         return self.__dict__.copy()
@@ -403,7 +427,12 @@ class CrawlEngine:
         host_state = self.cat.read("host_state")
         seen = self.cat.read("seen")
 
-        if frontier.isEmpty():                                  # D4 quiescence
+        frontier_empty = (
+            st.frontier_rows == 0
+            if st.frontier_rows is not None
+            else frontier.isEmpty()
+        )
+        if frontier_empty:                                      # D4 quiescence
             st.done = True
             self.cat.commit_round(st.round, st.to_json())
             return {"round": st.round, "attempted": 0, "fetched": 0, "stopped": "empty"}
@@ -419,8 +448,15 @@ class CrawlEngine:
         # robots-parse UDF runs exactly once per new host per crawl and
         # bodies never enter the broadcast scheduling table.
         new_hosts = self._robots_for_new_hosts(frontier, host_state)
-        new_delta = self.cat.append_delta("host_robots", new_hosts)
-        st.total_hosts += new_delta.count()  # parquet-footer count, cheap
+        from pyspark.sql import Observation
+
+        hosts_obs = Observation()
+        new_delta = self.cat.append_delta(
+            "host_robots",
+            new_hosts.observe(hosts_obs, F.count(F.lit(1)).alias("n")),
+        )
+        # observed on the delta write itself — no separate count job
+        st.total_hosts += int(hosts_obs.get["n"])
         host_state = host_state.unionByName(
             new_delta.select("host", "delay", "priority").withColumn(
                 "ever_popped", F.lit(False)
@@ -619,17 +655,21 @@ class CrawlEngine:
                 F.spark_partition_id().alias("part_id"),        # lineage
             )
         )
-        fetched_rows = self.cat.append_delta(
-            "pages_fetched", fetched_full, cfg.records_per_file
-        )
-        _tt = self._t('fetch+parse+write', _tt)
-
         attempts = sel.select(
             "url", "host", "bucket", "fetched", F.lit(st.round).alias("round"),
             "attempt_ts", "discovered_seq",
         )
-        seen = self.cat.append("seen", attempts)
-        _tt = self._t('seen append', _tt)
+        # the page write and the seen append both read only the
+        # checkpointed `sel` blocks — submit them from two driver
+        # threads so the small seen write rides along with the big
+        # fetch+parse scan instead of serializing after it
+        fetched_rows, seen = _join_jobs(
+            lambda: self.cat.append_delta(
+                "pages_fetched", fetched_full, cfg.records_per_file
+            ),
+            lambda: self.cat.append("seen", attempts),
+        )
+        _tt = self._t('fetch+parse+write || seen append', _tt)
 
         # ---- new links → frontier (P7/P8 → A5 → J1) --------------------
         # columnar delta read: text/title never leave the parquet files
@@ -682,8 +722,15 @@ class CrawlEngine:
             ).alias("discovered_seq"),
             "parent_ts",
         )
-        new_links = checkpoint(new_links)
-        _tt = self._t('new_links ckpt', _tt)
+        if cfg.hosts_per_round is not None:
+            # parity mode reads new_links twice (revive scan + frontier
+            # union) — checkpoint so the window/anti-join tree runs once
+            new_links = checkpoint(new_links)
+            _tt = self._t('new_links ckpt', _tt)
+        # scale mode: new_links feeds ONLY the frontier overwrite, so
+        # the parquet write below is its one materialization — no extra
+        # checkpoint job (every input leaf is already a parquet delta
+        # or a cached checkpoint block)
 
         new_frontier = remaining_frontier.unionByName(
             new_links.drop("parent_ts")
@@ -749,19 +796,18 @@ class CrawlEngine:
         # so N rounds would mean ~4N near-empty tasks per stage)
 
         # ---- metrics (S7 + lineage) ------------------------------------
+        # the write itself joins the end-of-round parallel job batch
+        metrics_df = None
         if cfg.collect_metrics:
-            self.cat.append(
-                "metrics",
-                host_updates.select(
-                    F.lit(st.round).alias("round"),
-                    "host",
-                    "attempted",
-                    F.coalesce("n_fetched", F.lit(0)).alias("fetched"),
-                    (
-                        F.col("attempted") - F.coalesce("n_fetched", F.lit(0))
-                    ).alias("skipped"),
-                    F.spark_partition_id().alias("part_id"),
-                ),
+            metrics_df = host_updates.select(
+                F.lit(st.round).alias("round"),
+                "host",
+                "attempted",
+                F.coalesce("n_fetched", F.lit(0)).alias("fetched"),
+                (
+                    F.col("attempted") - F.coalesce("n_fetched", F.lit(0))
+                ).alias("skipped"),
+                F.spark_partition_id().alias("part_id"),
             )
 
         # ---- driver-scalar updates (the old locked globals) ------------
@@ -791,13 +837,26 @@ class CrawlEngine:
         st.total_fetched += n_fetched_round
         st.total_attempted += int(n_attempted)
 
-        # host_state2 references the OLD frontier snapshot (via the
-        # new-host robots join), so it must be materialized before the
-        # frontier overwrite frees that snapshot's checkpoint blocks
-        self.cat.overwrite("host_state", host_state2)
-        _tt = self._t('host_state overwrite', _tt)
-        self.cat.overwrite("frontier", new_frontier)
-        _tt = self._t('frontier overwrite', _tt)
+        # the two snapshot overwrites are independent (host_state2 reads
+        # only the old host_state dirs + checkpointed sel blocks;
+        # new_frontier reads the old frontier dirs + parquet deltas) and
+        # the catalog defers reclaiming replaced dirs until commit_round,
+        # so both writes run concurrently from driver threads
+        front_obs = Observation()
+        new_frontier = new_frontier.observe(
+            front_obs, F.count(F.lit(1)).alias("n")
+        )
+        jobs = [
+            lambda: self.cat.overwrite("host_state", host_state2),
+            lambda: self.cat.overwrite("frontier", new_frontier),
+        ]
+        if metrics_df is not None:
+            jobs.append(lambda: self.cat.append("metrics", metrics_df))
+        _join_jobs(*jobs)
+        # next round's D4 quiescence check reads this instead of
+        # running an isEmpty() job against the frontier snapshot
+        st.frontier_rows = int(front_obs.get["n"])
+        _tt = self._t('host_state || frontier || metrics', _tt)
         # free this round's checkpoint caches (iterative loops leak
         # cached RDD blocks otherwise — OOM after ~50 rounds)
         for _df in (cand, sel, new_links):

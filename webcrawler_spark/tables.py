@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 from typing import Optional
 
@@ -71,10 +72,18 @@ class MemoryCatalog:
         self._dirs: dict[str, list[str]] = {}
         self._seq = 0
         self._state: dict = {}
+        # the engine submits independent table writes from concurrent
+        # driver threads (overlapped round jobs); seq allocation and
+        # dir-list mutation must be atomic, and replaced dirs must stay
+        # readable until the round commits (a sibling job may still be
+        # scanning them)
+        self._lock = threading.Lock()
+        self._garbage: list[str] = []
 
     def _new_dir(self, name: str) -> str:
-        self._seq += 1
-        return os.path.join(self.root, name, f"d{self._seq:06d}")
+        with self._lock:
+            self._seq += 1
+            return os.path.join(self.root, name, f"d{self._seq:06d}")
 
     def read(self, name: str) -> Optional[DataFrame]:
         dirs = self._dirs.get(name)
@@ -85,13 +94,13 @@ class MemoryCatalog:
     def overwrite(self, name: str, df: DataFrame) -> DataFrame:
         d = self._new_dir(name)
         df.write.parquet(d)
-        old = self._dirs.get(name)
-        self._dirs[name] = [d]
-        if old:
-            import shutil
-
-            for o in old:
-                shutil.rmtree(o, ignore_errors=True)
+        with self._lock:
+            old = self._dirs.get(name)
+            self._dirs[name] = [d]
+            if old:
+                # deferred: reclaimed at commit_round, so concurrent
+                # round jobs can still read the replaced snapshot
+                self._garbage.extend(old)
         return self.spark.read.parquet(d)
 
     def append(self, name: str, df: DataFrame, max_records_per_file: int = 0) -> DataFrame:
@@ -103,7 +112,8 @@ class MemoryCatalog:
             # native equivalent — bounded output files per snapshot
             w = w.option("maxRecordsPerFile", max_records_per_file)
         w.parquet(d)
-        self._dirs.setdefault(name, []).append(d)
+        with self._lock:
+            self._dirs.setdefault(name, []).append(d)
         return self.read(name)
 
     def append_delta(self, name: str, df: DataFrame, max_records_per_file: int = 0) -> DataFrame:
@@ -115,7 +125,8 @@ class MemoryCatalog:
         if max_records_per_file:
             w = w.option("maxRecordsPerFile", max_records_per_file)
         w.parquet(d)
-        self._dirs.setdefault(name, []).append(d)
+        with self._lock:
+            self._dirs.setdefault(name, []).append(d)
         return self.spark.read.parquet(d)
 
     def compact(self, name: str) -> DataFrame:
@@ -130,6 +141,13 @@ class MemoryCatalog:
 
     def commit_round(self, round_no: int, state: dict) -> None:
         self._state = dict(state)
+        with self._lock:
+            garbage, self._garbage = self._garbage, []
+        if garbage:
+            import shutil
+
+            for o in garbage:
+                shutil.rmtree(o, ignore_errors=True)
 
     def load_state(self) -> Optional[dict]:
         return dict(self._state) if self._state else None
@@ -159,6 +177,7 @@ class ParquetCatalog:
         self._manifest_path = os.path.join(root, "manifest.json")
         self._dirs: dict[str, list[str]] = {}
         self._seq = 0
+        self._lock = threading.Lock()  # concurrent round-job writes
         last = self._last_round()
         if last is not None:
             self._dirs = {t: list(ds) for t, ds in last["tables"].items()}
@@ -198,8 +217,9 @@ class ParquetCatalog:
 
     # -- data ------------------------------------------------------------
     def _new_dir(self, name: str) -> str:
-        self._seq += 1
-        return os.path.join(self.root, name, f"d{self._seq:06d}")
+        with self._lock:
+            self._seq += 1
+            return os.path.join(self.root, name, f"d{self._seq:06d}")
 
     def read(self, name: str) -> Optional[DataFrame]:
         dirs = self._dirs.get(name)
@@ -216,7 +236,8 @@ class ParquetCatalog:
         # Those dirs are garbage by construction — the manifest is the
         # commit point — so clobbering them is the correct resume.
         df.write.mode("overwrite").parquet(d)
-        self._dirs[name] = [d]
+        with self._lock:
+            self._dirs[name] = [d]
         return self.spark.read.parquet(d)
 
     def append(self, name: str, df: DataFrame, max_records_per_file: int = 0) -> DataFrame:
@@ -225,7 +246,8 @@ class ParquetCatalog:
         if max_records_per_file:
             w = w.option("maxRecordsPerFile", max_records_per_file)
         w.parquet(d)
-        self._dirs.setdefault(name, []).append(d)
+        with self._lock:
+            self._dirs.setdefault(name, []).append(d)
         return self.read(name)
 
     def append_delta(self, name: str, df: DataFrame, max_records_per_file: int = 0) -> DataFrame:
@@ -235,7 +257,8 @@ class ParquetCatalog:
         if max_records_per_file:
             w = w.option("maxRecordsPerFile", max_records_per_file)
         w.parquet(d)
-        self._dirs.setdefault(name, []).append(d)
+        with self._lock:
+            self._dirs.setdefault(name, []).append(d)
         return self.spark.read.parquet(d)
 
     def compact(self, name: str) -> DataFrame:
