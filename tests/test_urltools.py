@@ -40,6 +40,26 @@ from webcrawler_spark.functions.urltools import (
         ("not a url", "not a url"),
         ("mailto:joe@x.com", "mailto:joe@x.com"),
         ("", ""),
+        # IDN host → punycode (IDNA 2003 stdlib codec, the one
+        # url-normalize 1.4.3 uses); path stays UTF-8 pct-encoded
+        ("https://bücher.example/x", "https://xn--bcher-kva.example/x"),
+        (
+            "https://MÜNCHEN.example:443/straße",
+            "https://xn--mnchen-3ya.example/stra%C3%9Fe",
+        ),
+        # already-punycode and trailing-dot hosts
+        ("https://xn--bcher-kva.example/x", "https://xn--bcher-kva.example/x"),
+        ("https://café.example./", "https://xn--caf-dma.example/"),
+        # IDNA-invalid host (empty label): keep lowercased as-is
+        ("https://a..b.example/x", "https://a..b.example/x"),
+        # scheme-relative network-path ref → default https scheme
+        # (url-normalize provide_url_scheme behavior)
+        ("//Example.COM/a/../b", "https://example.com/b"),
+        ("//", "//"),
+        ("///rooted/path", "///rooted/path"),
+        # space in query pct-encoded; '+' kept literal (sub-delim)
+        ("https://h.io/p?q=a b", "https://h.io/p?q=a%20b"),
+        ("https://h.io/p?q=a+b", "https://h.io/p?q=a+b"),
     ],
 )
 def test_normalize_url(raw, expected):

@@ -109,12 +109,18 @@ def normalize_url(url: str) -> str:
     Normalizations applied (url-normalize 1.4.3 behavior subset):
     lower-case scheme+host, strip default port, remove dot segments,
     empty path → '/', percent-encoding normalization, keep query and
-    fragment verbatim (percent-normalized).
+    fragment verbatim (percent-normalized), IDN hosts → punycode,
+    scheme-relative '//host/...' → default https scheme.
     """
     if url is None:
         return url
     try:
-        m = _SCHEME_RE.match(url.strip())
+        u = url.strip()
+        if u.startswith("//") and len(u) > 2 and not u.startswith("///"):
+            # RFC 3986 network-path reference: adopt the crawl default
+            # scheme (url-normalize's provide_url_scheme behavior)
+            u = "https:" + u
+        m = _SCHEME_RE.match(u)
         if not m:
             return url
         scheme = m.group(1).lower()
@@ -143,6 +149,13 @@ def normalize_url(url: str) -> str:
         if ":" in authority and not authority.endswith("]"):
             host, port = authority.rsplit(":", 1)
         host = host.lower().rstrip(".")
+        if host and not host.isascii():
+            # IDN → punycode (IDNA 2003, the stdlib codec url-normalize
+            # 1.4.3 uses); on codec failure keep the lowercased host
+            try:
+                host = host.encode("idna").decode("ascii")
+            except UnicodeError:
+                pass
         if port and port != _DEFAULT_PORTS.get(scheme, None):
             host = f"{host}:{port}"
 
