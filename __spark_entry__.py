@@ -422,6 +422,83 @@ def _q_json_props(spark, sf):
 # ---- rows-only entries (no faithful single-statement SQL form) ----------
 
 
+_ROBOTS_BODY_A = "User-agent: *\nDisallow: /doc/1\nAllow: /doc/12"
+_ROBOTS_BODY_B = "User-agent: *\nDisallow: /"
+_ROBOTS_BODY_C = "User-agent: *\nCrawl-delay: 2\nDisallow: /doc/7"
+_SRC_A = ["src0", "src4", "src8", "src12", "src16"]
+_SRC_B = ["src1", "src5", "src9", "src13", "src17"]
+_SRC_C = ["src2", "src6", "src10", "src14", "src18"]
+
+
+def _q_robots_gate(spark, sf):
+    """F2 — robots allow/deny via the engine's Google-semantics matcher
+    (longest rule wins, Allow beats Disallow on ties; robots.py:141-161)
+    against a prefix-only rule set the oracle reproduces in SQL."""
+    from webcrawler_spark.functions.robots import robots_allowed_udf
+
+    d = _docs(spark, sf).withColumn("url", _url_expr())
+    body = (
+        F.when(F.col("source").isin(_SRC_A), F.lit(_ROBOTS_BODY_A))
+        .when(F.col("source").isin(_SRC_B), F.lit(_ROBOTS_BODY_B))
+        .when(F.col("source").isin(_SRC_C), F.lit(_ROBOTS_BODY_C))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        robots_allowed_udf(F.col("url"), body).alias("allowed"),
+    )
+
+
+def _q_politeness_schedule(spark, sf):
+    """W4/P12 — the native politeness law verbatim (engine.py fetch
+    executor): attempt_ts = start + (accessed rows before me) * delay,
+    computed with a per-key ordered window, no Python."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    delay = (F.lit(1) + F.col("user_id") % 5).cast("double")
+    should = F.col("event_type").isin("click", "purchase")
+    w_all = Window.partitionBy("user_id")
+    w_seq = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # NTZ timestamp → fractional epoch seconds, timezone-free (DuckDB
+    # epoch() parity; unix_timestamp would truncate the micros)
+    epoch_s = (
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            " timestamp_ntz'1970-01-01 00:00:00', ts)"
+        )
+        / F.lit(1e6)
+    )
+    start = F.min(epoch_s).over(w_all)
+    consumed = F.coalesce(F.sum(should.cast("long")).over(w_seq), F.lit(0))
+    return ev.select(
+        "user_id",
+        "event_id",
+        should.alias("accessed"),
+        F.round(start + consumed * delay, 6).alias("attempt_ts"),
+    )
+
+
+def _q_budget_landing(spark, sf):
+    """A1/W5 — exact page-budget truncation: keep the first 100
+    'fetches' in global (ts, id) order via a strictly-preceding
+    cumulative count (the engine's final-round law, engine.py)."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    fetched = F.col("event_type") == "purchase"
+    w_glob = Window.orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = F.coalesce(F.sum(fetched.cast("long")).over(w_glob), F.lit(0))
+    return (
+        ev.withColumn("_cum", cum)
+        .filter(fetched & (F.col("_cum") < 100))
+        .select("event_id", "user_id", (F.col("_cum") + 1).alias("fetch_no"))
+    )
+
+
 def _q_bloom_antijoin_rowsonly(spark, sf):
     """O5 — Bloom-pre-filtered J1; semantically equal to the exact anti
     join (property-tested in tests/test_bloom.py)."""
@@ -541,6 +618,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": _q_fingerprints,
         "cosine_topk": _q_cosine_topk,
         "embedding_near_dup": _q_embedding_near_dup,
+        "robots_gate": _q_robots_gate,
+        "politeness_schedule": _q_politeness_schedule,
+        "budget_landing": _q_budget_landing,
         "sessionize": _q_sessionize,
         "tumbling_events": _q_tumbling_events,
         "json_props": _q_json_props,
@@ -866,6 +946,52 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(l.v, r.v), 6) as sim
             from be l join be r on l.bucket = r.bucket and l.vec_id < r.vec_id
             where round(list_cosine_similarity(l.v, r.v), 6) >= 0.4
+        """,
+        "robots_gate": """
+            with u as (
+              select doc_id, source,
+                     '/doc/' || doc_id::VARCHAR ||
+                       (case when doc_id % 7 = 0 then '.pdf' else '' end)
+                       as path
+              from documents)
+            select doc_id, source,
+                   case
+                     when source in ('src0','src4','src8','src12','src16')
+                       then (case when path like '/doc/12%' then true
+                                  when path like '/doc/1%' then false
+                                  else true end)
+                     when source in ('src1','src5','src9','src13','src17')
+                       then false
+                     when source in ('src2','src6','src10','src14','src18')
+                       then path not like '/doc/7%'
+                     else true
+                   end as allowed
+            from u
+        """,
+        "politeness_schedule": """
+            select user_id, event_id,
+                   event_type in ('click','purchase') as accessed,
+                   round(
+                     min(epoch(ts)) over (partition by user_id)
+                     + coalesce(sum(case when event_type in
+                         ('click','purchase') then 1 else 0 end) over
+                         (partition by user_id order by ts, event_id
+                          rows between unbounded preceding
+                          and 1 preceding), 0)::BIGINT
+                       * (1 + user_id % 5)::DOUBLE,
+                     6) as attempt_ts
+            from events
+        """,
+        "budget_landing": """
+            select event_id, user_id, (cum + 1)::BIGINT as fetch_no
+            from (select event_id, user_id, event_type,
+                         coalesce(sum(case when event_type = 'purchase'
+                             then 1 else 0 end) over
+                             (order by ts, event_id rows between
+                              unbounded preceding and 1 preceding),
+                           0)::BIGINT as cum
+                  from events)
+            where event_type = 'purchase' and cum < 100
         """,
         "sessionize": """
             with g as (
