@@ -519,7 +519,7 @@ def _q_lsh_ann_rowsonly(spark, sf):
         "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
     )
     qvec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
-    return lsh_bucket_topk(emb, qvec, k=10, n_planes=4)
+    return lsh_bucket_topk(emb, qvec, k=10, n_planes=4, n_probes=4)
 
 
 def _q_multimodal_rowsonly(spark, sf):

@@ -105,6 +105,60 @@ def test_lsh_topk_contains_planted_neighbor(embeddings):
     assert 3 in ids and 7 in ids               # same bucket by construction
 
 
+def test_probe_buckets_match_sql_bucket(embeddings):
+    """The driver-side probe-0 bucket must equal the Catalyst md5
+    bucket (same hyperplane law) for every vector."""
+    rows = embeddings.collect()
+    sql_buckets = {
+        r["vec_id"]: r["bucket"]
+        for r in similarity.with_lsh_bucket(embeddings, n_planes=6).collect()
+    }
+    for r in rows:
+        py = similarity.probe_buckets(r["embedding"], n_planes=6, n_probes=1)
+        assert py == [sql_buckets[r["vec_id"]]]
+
+
+def test_probe_buckets_sequence_properties():
+    vec = [0.3, -0.2, 0.9, 0.1]
+    probes = similarity.probe_buckets(vec, n_planes=6, n_probes=8)
+    assert len(probes) == 8 and len(set(probes)) == 8   # distinct buckets
+    assert all(0 <= b < 64 for b in probes)
+    # probe 1 flips exactly the single lowest-|margin| plane
+    assert bin(probes[0] ^ probes[1]).count("1") == 1
+
+
+def test_multiprobe_recall_vs_exact(embeddings):
+    """Recall@5 of the multi-probe ANN against exact cosine top-k.
+    With 16 of 16 buckets probed the scan is exhaustive, so recall is
+    exactly 1 — the invariant that more probes ⇒ recall → 1."""
+    q = embeddings.filter("vec_id = 3").first()["embedding"]
+    exact = {
+        r["neighbor_id"]
+        for r in similarity.cosine_topk(embeddings, q, k=5).collect()
+    }
+    full = {
+        r["neighbor_id"]
+        for r in similarity.lsh_bucket_topk(
+            embeddings, q, k=5, n_planes=4, n_probes=16
+        ).collect()
+    }
+    assert full == exact
+    # a modest probe budget must already beat the single-probe floor
+    single = {
+        r["neighbor_id"]
+        for r in similarity.lsh_bucket_topk(
+            embeddings, q, k=5, n_planes=4, n_probes=1
+        ).collect()
+    }
+    multi = {
+        r["neighbor_id"]
+        for r in similarity.lsh_bucket_topk(
+            embeddings, q, k=5, n_planes=4, n_probes=4
+        ).collect()
+    }
+    assert len(multi & exact) >= len(single & exact)
+
+
 def test_embedding_near_dup_pairs(embeddings):
     pairs = {(r["a"], r["b"]) for r in
              similarity.embedding_near_dup_pairs(embeddings, 0.999).collect()}

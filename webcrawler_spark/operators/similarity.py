@@ -128,6 +128,47 @@ def with_lsh_bucket(
     )
 
 
+def _plane_component_py(plane: int, dim: int) -> float:
+    """Driver-side mirror of :func:`_plane_component` (same md5 law)."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{plane},{dim}".encode()).hexdigest()[:8], 16)
+    return (h % 1000) / 1000.0 - 0.5
+
+
+def probe_buckets(
+    query_vec: list[float], n_planes: int = 6, n_probes: int = 1
+) -> list[int]:
+    """Multi-probe LSH probe sequence (Lv et al., VLDB 2007).
+
+    The query's own sign bucket first, then buckets reached by flipping
+    the sign bits with the smallest projection margins |q·plane| — the
+    planes the query sits closest to, where true neighbors most likely
+    landed on the other side. Pure driver arithmetic: the hyperplanes
+    are md5-derived, so no Spark job is needed to locate the probes.
+    """
+    import itertools
+
+    if n_planes > 20:
+        raise ValueError("n_planes > 20: probe enumeration too large")
+    projs = [
+        sum(v * _plane_component_py(p, i) for i, v in enumerate(query_vec))
+        for p in range(n_planes)
+    ]
+    base = sum((1 << p) for p, s in enumerate(projs) if s > 0)
+    if n_probes <= 1:
+        return [base]
+    scored = sorted(
+        (
+            sum(abs(projs[p]) for p in combo),
+            sum(1 << p for p in combo),
+        )
+        for r in range(1, n_planes + 1)
+        for combo in itertools.combinations(range(n_planes), r)
+    )
+    return [base] + [base ^ mask for _, mask in scored[: n_probes - 1]]
+
+
 def lsh_bucket_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -135,20 +176,19 @@ def lsh_bucket_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = 6,
+    n_probes: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: score only vectors in the query's LSH bucket.
+    """Approximate top-k: score only vectors in the query's probe
+    buckets (multi-probe when ``n_probes > 1``).
 
     The bucketed table would be written partitioned by ``bucket`` at
-    corpus scale, making the probe a partition-pruned scan instead of a
-    full pass. Recall is tunable by n_planes / multi-probe.
-    """
-    spark = embeddings.sparkSession
-    qdf = spark.createDataFrame([(query_vec,)], f"{vec_col} array<double>")
-    q_bucket = qdf.select(
-        lsh_bucket_col(F.col(vec_col), n_planes).alias("b")
-    ).first()["b"]
+    corpus scale, making each probe a partition-pruned scan instead of
+    a full pass; recall grows with n_probes at linear scan cost in the
+    number of probed buckets (see tests/test_operators.py recall
+    floor). The probe set is computed on the driver — no Spark job."""
+    probes = probe_buckets(query_vec, n_planes, n_probes)
     bucketed = with_lsh_bucket(embeddings, vec_col, n_planes)
-    candidates = bucketed.filter(F.col("bucket") == q_bucket)
+    candidates = bucketed.filter(F.col("bucket").isin(probes))
     return cosine_topk(candidates, query_vec, k, id_col, vec_col)
 
 
