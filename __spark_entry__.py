@@ -567,6 +567,51 @@ def _q_warc_rowsonly(spark, sf):
     )
 
 
+def _q_stateful_schedule_rowsonly(spark, sf):
+    """§2.8 — applyInPandasWithState politeness scheduler over a
+    bounded candidate stream (AvailableNow drain). No SQL analog: the
+    per-host next_free recurrence needs a state store; parity with a
+    driver-side simulation is pinned in tests/test_streaming.py."""
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="wcspark-state-")
+    from webcrawler_spark.streaming.stateful import politeness_schedule_stream
+
+    ddl = "host string, url string, arrival_ts double, delay double"
+    cand = (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .select(
+            F.concat(F.lit("h"), (F.col("user_id") % 20).cast("string")).alias(
+                "host"
+            ),
+            F.concat(F.lit("u"), F.col("event_id").cast("string")).alias("url"),
+            (F.col("event_id") % 100).cast("double").alias("arrival_ts"),
+            (F.lit(1) + F.col("user_id") % 3).cast("double").alias("delay"),
+        )
+    )
+    cand.write.parquet(f"{root}/cand")
+    q = (
+        politeness_schedule_stream(
+            spark.readStream.schema(ddl).parquet(f"{root}/cand")
+        )
+        .writeStream.format("parquet")
+        .option("path", f"{root}/out")
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(f"{root}/out")
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_scheduled"),
+            F.round(F.max("attempt_ts"), 6).alias("last_attempt_ts"),
+        )
+    )
+
+
 def _q_crawl_rowsonly(spark, sf):
     """The crawl itself at this scale factor (quiescence run, no budget):
     per-host attempted/fetched counts from the seen table."""
@@ -628,6 +673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_rowsonly": _q_lsh_ann_rowsonly,
         "multimodal_rowsonly": _q_multimodal_rowsonly,
         "warc_rowsonly": _q_warc_rowsonly,
+        "stateful_schedule_rowsonly": _q_stateful_schedule_rowsonly,
         "crawl_rowsonly": _q_crawl_rowsonly,
     }
 
