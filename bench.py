@@ -41,6 +41,9 @@ BENCH_QUERIES = [
     "simhash",
     "text_quality",
     "cosine_topk",
+    "near_dup_pipeline",
+    "embedding_near_dup",
+    "politeness_schedule",
     "sessionize",
     "tumbling_events",
 ]

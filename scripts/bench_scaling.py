@@ -99,8 +99,15 @@ def child(cpus: int) -> None:
 
 
 def parent() -> None:
-    results = {}
-    for cpus in (2, 8):
+    # A-B-B-A interleave, best-of-2 per arm: this sandbox's CPU supply
+    # is bursty (calibrated busy-loop throughput swings ±50% between
+    # minutes), so a single N measurement followed by a single 4N
+    # measurement confounds box drift with engine scaling. Best-of-2
+    # with the arms interleaved bounds each arm's exposure to a slow
+    # phase; the best rate is the closest observable to the engine's
+    # true throughput at that parallelism.
+    runs: dict[int, list[dict]] = {2: [], 8: []}
+    for cpus in (2, 8, 8, 2):
         out = subprocess.run(
             [sys.executable, __file__, "--child", str(cpus)],
             capture_output=True,
@@ -109,8 +116,11 @@ def parent() -> None:
             timeout=3000,
         )
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-        results[cpus] = json.loads(line)
+        runs[cpus].append(json.loads(line))
         print(line, file=sys.stderr)
+    results = {
+        c: max(rs, key=lambda r: r["pages_per_sec"]) for c, rs in runs.items()
+    }
     r_n, r_4n = results[2]["pages_per_sec"], results[8]["pages_per_sec"]
     eff = (r_4n / r_n) / 4 if r_n else 0.0
     print(
@@ -121,6 +131,7 @@ def parent() -> None:
                 "rate_4n": r_4n,
                 "scaling_efficiency": round(eff, 3),
                 "detail": results,
+                "all_runs": runs,
             }
         )
     )
