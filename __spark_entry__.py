@@ -354,6 +354,23 @@ def _q_fingerprints(spark, sf):
     )
 
 
+def _q_bpe_token_count(spark, sf):
+    """BPE-pretokenizer token metering (training-data budget column)."""
+    from webcrawler_spark.operators.textstats import bpe_token_count
+
+    return _docs(spark, sf).select(
+        "doc_id", bpe_token_count(F.col("text")).cast("long").alias("n_bpe")
+    )
+
+
+def _q_winnow_fp(spark, sf):
+    """Winnowing (rolling k-gram hash, window-min) fingerprints —
+    local-similarity dual of MinHash (Schleimer et al., SIGMOD 2003)."""
+    from webcrawler_spark.operators.textstats import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(spark, sf), "text", "doc_id", k=5, w=4)
+
+
 def _q_cosine_topk(spark, sf):
     from webcrawler_spark.operators.similarity import cosine_topk
 
@@ -375,6 +392,52 @@ def _q_embedding_near_dup(spark, sf):
         "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
     )
     return embedding_near_dup_pairs(emb, threshold=0.4, n_planes=6)
+
+
+def _q_ivf_ann(spark, sf):
+    """IVF ANN, full probe (n_probe == k centroids): exercises the real
+    train→assign→probe machinery while degenerating to the exact scan,
+    so the cosine_topk oracle value-checks it. The pruned variant is
+    `ivf_ann_probe_rowsonly`; recall-vs-probes is pinned in
+    tests/test_ivf.py."""
+    from webcrawler_spark.operators.ivf import ivf_topk, train_centroids
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").withColumn(
+        "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    )
+    qvec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    cent = train_centroids(emb, n_centroids=8, sample_rows=10_000)
+    top = ivf_topk(emb, cent, qvec, k=10, n_probe=8)
+    return top.withColumn("rank", F.col("rank").cast("long"))
+
+
+def _q_ivf_ann_probe_rowsonly(spark, sf):
+    """IVF ANN, pruned (n_probe=2 of 8 inverted lists): the scan shape
+    a 100 TB corpus runs — at scale the table is written
+    partitionBy(centroid_id) so each probe is a partition-pruned read."""
+    from webcrawler_spark.operators.ivf import ivf_topk, train_centroids
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").withColumn(
+        "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    )
+    qvec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    cent = train_centroids(emb, n_centroids=8, sample_rows=10_000)
+    return ivf_topk(emb, cent, qvec, k=10, n_probe=2).withColumn(
+        "rank", F.col("rank").cast("long")
+    )
+
+
+def _q_cuckoo_antijoin(spark, sf):
+    """O5 cuckoo variant — deletable seen filter; semantically the
+    exact anti-join (routing property-tested in tests/test_cuckoo.py),
+    so the oracle value-checks it directly."""
+    from webcrawler_spark.operators.cuckoo import anti_join_with_cuckoo
+
+    d = _docs(spark, sf).withColumn("url", _url_expr())
+    seen = d.filter(F.col("doc_id") % 3 == 0).select("url")
+    return anti_join_with_cuckoo(d.select("doc_id", "url"), seen, "url").select(
+        "doc_id", "url"
+    )
 
 
 def _q_sessionize(spark, sf):
@@ -499,9 +562,10 @@ def _q_budget_landing(spark, sf):
     )
 
 
-def _q_bloom_antijoin_rowsonly(spark, sf):
+def _q_bloom_antijoin(spark, sf):
     """O5 — Bloom-pre-filtered J1; semantically equal to the exact anti
-    join (property-tested in tests/test_bloom.py)."""
+    join (property-tested in tests/test_bloom.py), so the plain NOT IN
+    oracle value-checks it."""
     from webcrawler_spark.operators.bloom import anti_join_with_bloom
 
     d = _docs(spark, sf).withColumn("url", _url_expr())
@@ -661,6 +725,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_pairs": _q_simhash_near_pairs,
         "text_quality": _q_text_quality,
         "fingerprints": _q_fingerprints,
+        "bpe_token_count": _q_bpe_token_count,
+        "winnow_fp": _q_winnow_fp,
         "cosine_topk": _q_cosine_topk,
         "embedding_near_dup": _q_embedding_near_dup,
         "robots_gate": _q_robots_gate,
@@ -669,7 +735,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "tumbling_events": _q_tumbling_events,
         "json_props": _q_json_props,
-        "bloom_antijoin_rowsonly": _q_bloom_antijoin_rowsonly,
+        "bloom_antijoin": _q_bloom_antijoin,
+        "cuckoo_antijoin": _q_cuckoo_antijoin,
+        "ivf_ann": _q_ivf_ann,
+        "ivf_ann_probe_rowsonly": _q_ivf_ann_probe_rowsonly,
         "lsh_ann_rowsonly": _q_lsh_ann_rowsonly,
         "multimodal_rowsonly": _q_multimodal_rowsonly,
         "warc_rowsonly": _q_warc_rowsonly,
@@ -954,6 +1023,32 @@ def oracle_sql() -> dict[str, str]:
                    md5(regexp_replace(lower(text), '\s+', ' ', 'g')) as fp
             from documents
         """,
+        "bpe_token_count": r"""
+            select doc_id,
+                   len(regexp_extract_all(text,
+                     e'\'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+',
+                     0))::BIGINT as n_bpe
+            from documents
+        """,
+        "winnow_fp": """
+            with g as (
+              select doc_id,
+                     list_transform(
+                       generate_series(1, greatest(length(text) - 5 + 1, 0)),
+                       i -> ('0x' || substr(md5(substring(text, i, 5)), 1, 8))
+                              ::UBIGINT::BIGINT) as hs
+              from documents),
+            fps as (
+              select doc_id,
+                     case when len(hs) - 4 + 1 >= 1 then
+                       list_distinct(list_transform(
+                         generate_series(1, len(hs) - 4 + 1),
+                         j -> list_min(hs[j:j+3])))
+                     else list_filter([list_min(hs)], x -> x is not null)
+                     end as fps
+              from g)
+            select doc_id, unnest(fps) as fp from fps
+        """,
         "cosine_topk": """
             with q as (select embedding::DOUBLE[] as qv from embeddings
                        where vec_id = 0),
@@ -992,6 +1087,29 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(l.v, r.v), 6) as sim
             from be l join be r on l.bucket = r.bucket and l.vec_id < r.vec_id
             where round(list_cosine_similarity(l.v, r.v), 6) >= 0.4
+        """,
+        "bloom_antijoin": f"""
+            with u as (select doc_id, {_URL_SQL} as url from documents)
+            select doc_id, url from u
+            where url not in (select url from u where doc_id % 3 = 0)
+        """,
+        "cuckoo_antijoin": f"""
+            with u as (select doc_id, {_URL_SQL} as url from documents)
+            select doc_id, url from u
+            where url not in (select url from u where doc_id % 3 = 0)
+        """,
+        "ivf_ann": """
+            with q as (select embedding::DOUBLE[] as qv from embeddings
+                       where vec_id = 0),
+            scored as (
+              select vec_id as neighbor_id,
+                     round(list_cosine_similarity(embedding::DOUBLE[], qv), 6)
+                       as sim
+              from embeddings cross join q)
+            select neighbor_id, sim,
+                   row_number() over (order by sim desc, neighbor_id) as rank
+            from scored
+            qualify rank <= 10
         """,
         "robots_gate": """
             with u as (

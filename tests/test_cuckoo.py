@@ -1,0 +1,156 @@
+"""Partitioned cuckoo seen-filter — safety + deletion properties."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from webcrawler_spark.operators.cuckoo import (
+    SLOTS,
+    _bucket1,
+    _delete_many,
+    _fingerprints,
+    _insert_many,
+    _lookup_many,
+    anti_join_with_cuckoo,
+    build_cuckoo,
+    delete_keys,
+    table_buckets,
+)
+
+
+def test_no_false_drops_exact_equivalence(spark):
+    """anti_join_with_cuckoo ≡ left_anti join, for any overlap pattern."""
+    seen = spark.createDataFrame(
+        [(f"https://h{i % 7}.x/p{i}",) for i in range(0, 500, 2)], "url string"
+    )
+    cand = spark.createDataFrame(
+        [(f"https://h{i % 7}.x/p{i}",) for i in range(500)], "url string"
+    )
+    got = {r["url"] for r in anti_join_with_cuckoo(cand, seen, "url").collect()}
+    want = {r["url"] for r in cand.join(seen, "url", "left_anti").collect()}
+    assert got == want
+    assert len(want) == 250
+
+
+def test_overloaded_filter_still_correct(spark):
+    """Undersized table ⇒ eviction failures land in the stash ⇒ probe
+    stays conservative and the exact join rescues every never-seen URL."""
+    seen = spark.createDataFrame([(f"u{i}",) for i in range(400)], "url string")
+    cand = spark.createDataFrame([(f"u{i}",) for i in range(800)], "url string")
+    got = {
+        r["url"]
+        for r in anti_join_with_cuckoo(
+            cand, seen, "url", n_shards=2, expected_items=16
+        ).collect()
+    }
+    assert got == {f"u{i}" for i in range(400, 800)}
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2**64 - 1), st.integers(0, 2**64 - 1)),
+        max_size=60,
+        unique=True,
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_no_false_negatives_pure_numpy(hashes):
+    """Every inserted key probes positive, at any table size (eviction
+    overflow must fall into the stash, never disappear)."""
+    if not hashes:
+        return
+    h1 = np.array([a for a, _ in hashes], dtype=np.uint64)
+    h2 = np.array([b for _, b in hashes], dtype=np.uint64)
+    m = table_buckets(len(hashes))
+    table = np.zeros((m, SLOTS), dtype=np.uint16)
+    i1, fp = _bucket1(h1, m), _fingerprints(h2)
+    stash = _insert_many(table, i1, fp)
+    assert _lookup_many(table, i1, fp, stash).all()
+
+
+def test_fpp_reasonable_at_load():
+    """16-bit fingerprints: false-positive rate on never-inserted keys
+    is well under Bloom's 1% default at the design load factor."""
+    rng = np.random.default_rng(7)
+    n = 6000
+    m = table_buckets(n, load_factor=0.84)
+    table = np.zeros((m, SLOTS), dtype=np.uint16)
+    h1 = rng.integers(0, 2**63, n * 2, dtype=np.uint64)
+    h2 = rng.integers(0, 2**63, n * 2, dtype=np.uint64)
+    stash = _insert_many(table, _bucket1(h1[:n], m), _fingerprints(h2[:n]))
+    assert stash.size == 0  # at 0.84 load the eviction walk always lands
+    fresh = _lookup_many(
+        table, _bucket1(h1[n:], m), _fingerprints(h2[n:]), stash
+    )
+    assert fresh.mean() < 0.005
+
+
+def test_delete_reinstates_urls(spark):
+    """Deleted keys probe negative again (revisit policy) while the
+    rest of the seen set keeps probing positive."""
+    urls = [f"https://site{i}.example/p{i}" for i in range(300)]
+    seen = spark.createDataFrame([(u,) for u in urls], "url string")
+    cf = build_cuckoo(seen, "url", n_shards=4)
+    gone = spark.createDataFrame([(u,) for u in urls[:50]], "url string")
+    cf2 = delete_keys(cf, gone, "url")
+
+    from webcrawler_spark.operators.cuckoo import _as_u64, hash_cols
+
+    c1, c2 = hash_cols("url")
+    pdf = seen.select(c1.alias("h1"), c2.alias("h2"), "url").toPandas()
+    hits = cf2.lookup_np(_as_u64(pdf["h1"]), _as_u64(pdf["h2"]))
+    by_url = dict(zip(pdf["url"], hits))
+    assert all(by_url[u] for u in urls[50:])  # undeleted: no false negatives
+    # deleted keys may rarely still hit via a (bucket, fp) collision
+    # with a surviving key; the overwhelming majority must clear
+    assert sum(by_url[u] for u in urls[:50]) <= 2
+
+
+def test_delete_then_antijoin_readmits(spark):
+    """End-to-end revisit semantics: after deletion the anti-join
+    routing admits the URL again via the surely-new fast path."""
+    urls = [f"https://h.x/{i}" for i in range(100)]
+    seen = spark.createDataFrame([(u,) for u in urls], "url string")
+    cf = build_cuckoo(seen, "url", n_shards=2)
+    bc = spark.sparkContext.broadcast(delete_keys(cf, seen.limit(0), "url"))
+
+    from webcrawler_spark.operators import cuckoo
+
+    tagged = cuckoo.with_maybe_seen(seen, "url", bc)
+    assert tagged.filter(~tagged.maybe_seen).count() == 0
+
+
+def test_insert_is_idempotent():
+    """Re-inserting the same keys must not consume extra slots."""
+    rng = np.random.default_rng(3)
+    h1 = rng.integers(0, 2**63, 500, dtype=np.uint64)
+    h2 = rng.integers(0, 2**63, 500, dtype=np.uint64)
+    m = table_buckets(1000)
+    table = np.zeros((m, SLOTS), dtype=np.uint16)
+    i1, fp = _bucket1(h1, m), _fingerprints(h2)
+    _insert_many(table, i1, fp)
+    occupied = int((table != 0).sum())
+    _insert_many(table, i1, fp)
+    assert int((table != 0).sum()) == occupied
+
+
+def test_n_shards_must_be_pow2(spark):
+    seen = spark.createDataFrame([("u",)], "url string")
+    with pytest.raises(ValueError):
+        build_cuckoo(seen, "url", n_shards=3)
+
+
+def test_delete_many_pure():
+    """Pure-numpy delete removes exactly one occurrence per key."""
+    m = 16
+    table = np.zeros((m, SLOTS), dtype=np.uint16)
+    i1 = np.array([1, 2, 3], dtype=np.uint64)
+    fp = np.array([10, 20, 30], dtype=np.uint16)
+    stash = _insert_many(table, i1, fp)
+    assert _lookup_many(table, i1, fp, stash).all()
+    stash = _delete_many(table, i1[:1], fp[:1], stash)
+    got = _lookup_many(table, i1, fp, stash)
+    assert not got[0] and got[1] and got[2]

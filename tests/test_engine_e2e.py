@@ -205,6 +205,21 @@ def test_bloom_path_equivalent(spark, pages):
     )
 
 
+def test_cuckoo_path_equivalent(spark, pages):
+    """O5 cuckoo variant: same identical-crawl guarantee as the Bloom
+    pre-pass (tests/test_cuckoo.py pins the filter's own properties)."""
+    eng = CrawlEngine(
+        spark, pages, config=CrawlConfig(max_rounds=40, seen_filter="cuckoo")
+    )
+    eng.run(seeds_df(spark))
+    plain = CrawlEngine(spark, pages, config=CrawlConfig(max_rounds=40))
+    plain.run(seeds_df(spark))
+    assert (
+        {(r["url"], r["fetched"]) for r in eng.seen().collect()}
+        == {(r["url"], r["fetched"]) for r in plain.seen().collect()}
+    )
+
+
 def test_apply_in_pandas_politeness_equivalent(spark, pages):
     """north_star fetch-executor shape: the applyInPandas grouped-map
     politeness path produces the identical crawl (same seen set, same

@@ -267,3 +267,52 @@ def test_spark_matches_duckdb_for_dedup_and_topk(spark):
         ).fetchall()
     }
     assert got == want
+
+
+def test_bpe_token_count(spark):
+    rows = [
+        (0, "Hello world, it's 42 degrees!"),
+        (1, "foo"),
+        (2, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", textstats.bpe_token_count(F.col("text")).alias("n")
+        ).collect()
+    }
+    # Hello | ' world' | ',' | ' it' | 's | ' 42' | ' degrees' | '!'
+    assert got == {0: 8, 1: 1, 2: 0}
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """Winnowing invariant (Schleimer et al.): documents sharing a
+    substring of length >= k + w - 1 share at least one fingerprint."""
+    shared = "the quick brown fox jumps over"
+    rows = [
+        (0, "AAAA " + shared + " BBBB"),
+        (1, "cccccc " + shared + " dddd"),
+        (2, "completely different words here entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = textstats.winnow_fingerprints(df, "text", "doc_id", k=5, w=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[0] & by_doc[1]
+    assert not (by_doc[0] & by_doc[2] and by_doc[1] & by_doc[2])
+
+
+def test_winnow_short_docs(spark):
+    """< k chars: no fingerprints; in [k, k+w-2]: exactly one (the min
+    gram hash) — the branch the oracle mirrors."""
+    df = spark.createDataFrame(
+        [(0, "abc"), (1, "abcdef")], "doc_id long, text string"
+    )
+    fps = textstats.winnow_fingerprints(df, "text", "doc_id", k=5, w=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], []).append(r["fp"])
+    assert 0 not in by_doc
+    assert len(by_doc[1]) == 1

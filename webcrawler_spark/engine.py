@@ -102,6 +102,11 @@ class CrawlConfig:
     round_window: float = 3.0            # virtual seconds per round (W4 budget)
     n_buckets: int = 8                   # host-hash bucket count (O12)
     use_bloom: bool = False              # O5 seen pre-filter
+    # O5 variant selector: None defers to use_bloom; "bloom" | "cuckoo"
+    # pick the probabilistic pre-pass (cuckoo supports deletion —
+    # operators/cuckoo.py — for revisit policies); both are routing
+    # accelerators over the same exact anti-join semantics.
+    seen_filter: Optional[str] = None
     salt_n: int = 1                      # O9 two-phase FIFO selection fan
     collect_metrics: bool = True         # S7 per-round metrics table
     agent: str = "*"                     # Host.py:9
@@ -698,7 +703,12 @@ class CrawlEngine:
             frontier, sel.select("url"), "url", "left_anti", int(scal["n_att"] or 0)
         )
         # J1: never re-attempt (seen) and never double-queue (pending)
-        if cfg.use_bloom:
+        seen_filter = cfg.seen_filter or ("bloom" if cfg.use_bloom else "exact")
+        if seen_filter == "cuckoo":
+            from webcrawler_spark.operators.cuckoo import anti_join_with_cuckoo
+
+            new_links = anti_join_with_cuckoo(links, seen, "url")
+        elif seen_filter == "bloom":
             new_links = anti_join_with_bloom(links, seen, "url")
         else:
             new_links = links.join(seen.select("url"), "url", "left_anti")

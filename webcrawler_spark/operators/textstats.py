@@ -106,3 +106,62 @@ def fingerprint(text: Column) -> Column:
 def first_n_words(text: Column, n: int = 20) -> Column:
     """P10 (Parser.py:48-55) as a reusable native projection."""
     return F.array_join(F.slice(F.split(text, "\\s+"), 1, n), " ")
+
+
+# BPE-style pretokenizer (the GPT-2 pattern's RE2/Java-portable subset:
+# contractions, space-prefixed letter runs, digit runs, punctuation
+# runs; no lookahead so Catalyst and any SQL oracle agree exactly)
+BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Subword-tokenizer-grade token count: how many pretokens a
+    BPE-family tokenizer would see. Native regexp (codegen); the usual
+    ~N-subwords-per-pretoken scaling turns this into the token budget a
+    training pipeline actually meters."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_PRETOKEN_RE), 0))
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003): hash every k-char gram (rolling over the document),
+    keep the minimum of each w-length window, emit the distinct
+    selected hashes as (id, fp) rows.
+
+    Guarantees (from the paper): any shared substring of length
+    ≥ k + w - 1 between two documents yields at least one shared
+    fingerprint — the local-similarity dual to MinHash's global
+    Jaccard. Everything is a native array expression on one row (no
+    shuffle until the final explode), so the operator scales linearly
+    and whole-stage-codegens; the md5-prefix gram hash is reproducible
+    in any SQL oracle."""
+    t = F.col(col)
+    n_grams = F.length(t) - k + 1
+    grams = F.when(
+        n_grams >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.conv(
+                F.substring(F.md5(t.substr(i, F.lit(k))), 1, 8), 16, 10
+            ).cast("long"),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    n_wins = F.size(grams) - w + 1
+    fps = F.when(
+        n_wins >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_wins),
+                lambda j: F.array_min(F.slice(grams, j, w)),
+            )
+        ),
+    ).otherwise(  # short doc (< k+w-1 chars): one window = min of all
+        F.filter(F.array(F.array_min(grams)), lambda x: x.isNotNull())
+    )
+    return df.select(F.col(id_col), F.explode(fps).alias("fp"))
