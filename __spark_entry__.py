@@ -318,6 +318,38 @@ def _q_near_dup_pipeline(spark, sf):
     return near_duplicate_pairs(_docs(spark, sf), threshold=0.2)
 
 
+def _q_duplicate_clusters(spark, sf):
+    """Near-dup pairs chained into clusters: LSH→Jaccard pairs fed to
+    large-star/small-star connected components; every doc gets a
+    cluster id (= min doc_id of its component, singletons = self)."""
+    from webcrawler_spark.operators.graph import duplicate_clusters
+
+    return duplicate_clusters(_docs(spark, sf), threshold=0.2)
+
+
+def _q_host_pagerank(spark, sf):
+    """PageRank over a deterministic host graph (doc i's source links
+    to doc (31i+7 mod n)'s source) — the frontier-prioritization
+    signal; 5 power iterations, dangling mass redistributed."""
+    from webcrawler_spark.operators.graph import pagerank
+
+    docs = _docs(spark, sf).select("doc_id", "source")
+    n_docs = docs.count()
+    partner = docs.select(
+        ((F.col("doc_id") * 31 + 7) % n_docs).alias("pid"),
+        F.col("source").alias("src"),
+    )
+    right = docs.select(F.col("doc_id").alias("pid"), F.col("source").alias("dst"))
+    edges = (
+        partner.join(right, "pid")
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    pr = pagerank(edges, alpha=0.85, n_iter=5)
+    return pr.select(F.col("node").alias("host"), F.round("rank", 6).alias("rank"))
+
+
 def _q_simhash(spark, sf):
     from webcrawler_spark.operators.dedup import simhash
 
@@ -721,6 +753,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "jaccard_pairs": _q_jaccard_pairs,
         "near_dup_pipeline": _q_near_dup_pipeline,
+        "duplicate_clusters": _q_duplicate_clusters,
+        "host_pagerank": _q_host_pagerank,
         "simhash": _q_simhash,
         "simhash_near_pairs": _q_simhash_near_pairs,
         "text_quality": _q_text_quality,
@@ -769,6 +803,53 @@ sh as (
 """
 
 _STOPWORDS_SQL = "('the','a','and','of','to','in','is','on','for','with')"
+
+
+def _pagerank_oracle_sql(n_iter: int = 5) -> str:
+    """Unrolled power iteration mirroring graph.pagerank's exact float
+    op order: (1-0.85)/n + 0.85*(coalesce(contrib,0) + dangling/n),
+    contrib = sum(rank/outdeg) grouped by dst. The edge graph is the
+    deterministic doc->partner host graph of _q_host_pagerank."""
+    parts = [
+        """
+        with idx as (select doc_id, source from documents),
+        ed as (
+          select distinct a.source as src, b.source as dst
+          from idx a join idx b
+            on b.doc_id = (a.doc_id * 31 + 7) % (select count(*) from documents)
+          where a.source <> b.source),
+        nodes as (select src as node from ed union select dst as node from ed),
+        nn as (select count(*)::DOUBLE as n from nodes),
+        deg as (select src, count(*) as d from ed group by src),
+        r0 as (select node, 1.0 / (select n from nn) as rank from nodes)
+        """
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f"""
+        , c{i} as (
+          select ed.dst as node, sum(r.rank / deg.d) as contrib
+          from r{i - 1} r
+          join ed on ed.src = r.node
+          join deg on deg.src = ed.src
+          group by ed.dst)
+        , dang{i} as (
+          select coalesce(sum(r.rank), 0) as dm
+          from r{i - 1} r left join deg on deg.src = r.node
+          where deg.src is null)
+        , r{i} as (
+          select nd.node,
+                 (1 - 0.85) / (select n from nn)
+                 + 0.85 * (coalesce(c.contrib, 0)
+                           + (select dm from dang{i}) / (select n from nn))
+                   as rank
+          from nodes nd left join c{i} c on c.node = nd.node)
+        """
+        )
+    parts.append(
+        f"select node as host, round(rank, 6) as rank from r{n_iter}"
+    )
+    return "".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -945,6 +1026,48 @@ def oracle_sql() -> dict[str, str]:
             join sizes sb on sb.doc_id = b
             where round(inter / (sa.sz + sb.sz - inter), 6) >= 0.2
         """,
+        "duplicate_clusters": f"""
+            with recursive {_SHINGLES_CTE},
+            sig as (
+              select doc_id, b.band_id,
+                     min(md5(b.band_id || '|' || shingle)) as band_min
+              from sh cross join
+                   (select unnest(['0','1','2','3']) as band_id) b
+              group by doc_id, b.band_id
+            ),
+            cand as (
+              select distinct l.doc_id as a, r.doc_id as b
+              from sig l join sig r using (band_id, band_min)
+              where l.doc_id < r.doc_id
+            ),
+            sizes as (select doc_id, count(*) as sz from sh group by doc_id),
+            inter as (
+              select c.a, c.b, count(*) as inter
+              from cand c
+              join sh sa on sa.doc_id = c.a
+              join sh sb on sb.doc_id = c.b and sb.shingle = sa.shingle
+              group by c.a, c.b
+            ),
+            pairs as (
+              select a, b from inter
+              join sizes sa on sa.doc_id = a
+              join sizes sb on sb.doc_id = b
+              where round(inter / (sa.sz + sb.sz - inter), 6) >= 0.2
+            ),
+            ed as (select a as u, b as v from pairs
+                   union select b as u, a as v from pairs),
+            reach as (
+              select u as node, u as root from ed
+              union
+              select e.v as node, r.root from reach r
+              join ed e on e.u = r.node
+            ),
+            comp as (select node, min(root) as component
+                     from reach group by node)
+            select d.doc_id, coalesce(c.component, d.doc_id) as component
+            from documents d left join comp c on c.node = d.doc_id
+        """,
+        "host_pagerank": _pagerank_oracle_sql(n_iter=5),
         "simhash": """
             with words as (
               select doc_id, unnest(list_distinct(string_split(text, ' '))) as w

@@ -42,6 +42,8 @@ BENCH_QUERIES = [
     "text_quality",
     "cosine_topk",
     "near_dup_pipeline",
+    "duplicate_clusters",
+    "host_pagerank",
     "embedding_near_dup",
     "politeness_schedule",
     "sessionize",

@@ -1,0 +1,285 @@
+"""Graph operators: connected components, duplicate clustering, PageRank.
+
+A 100 TB dedup does not stop at near-duplicate *pairs*: pairs chain
+(A~B, B~C) into clusters, and the pipeline must pick one canonical
+document per cluster. That is a connected-components problem over the
+pair graph. Likewise a crawl frontier wants a host-importance signal
+(PageRank over the host link graph) to prioritize what to fetch next —
+the reference crawler's priority heap (Worker.py:49,149-152) orders
+hosts only by politeness-delay recency; rank-aware ordering is the
+standard scale-up of that idea.
+
+Both operators are batch-iterative DataFrame loops, same execution
+model as the crawl engine's round loop:
+
+* ``connected_components`` — alternating large-star / small-star
+  (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  SoCC 2014): O(log n) rounds, each round two hash aggregates and two
+  shuffle joins keyed on node id. No ``collect_list`` — a mega-cluster
+  hub never materializes its neighbor list in one task; its rows stay
+  spread across partitions and AQE's skew-join splits the hot key.
+* ``pagerank`` — power iteration expressed as join + aggregate, with
+  dangling-node mass folded back uniformly each step. Contributions
+  shuffle once per iteration on dst; the rank table is one row per
+  node.
+
+Iterative-loop hygiene (found the hard way in this repo — BENCH.md):
+lineage is truncated every ``checkpoint_every`` iterations via
+``sparkutil.checkpoint`` (tracked localCheckpoint, freed afterwards);
+at production scale pass ``checkpoint_dir`` to round-trip through
+parquet instead, which also gives honest size stats to AQE.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from webcrawler_spark import sparkutil
+
+# ---------------------------------------------------------------------------
+# connected components (large-star / small-star)
+# ---------------------------------------------------------------------------
+
+
+def _canon(edges: DataFrame) -> DataFrame:
+    """Distinct undirected edges as (u, v) with v < u; self loops dropped."""
+    return (
+        edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _edge_checksum(edges: DataFrame) -> tuple[int, int]:
+    """(count, order-independent hash-sum) of the canonical edge set.
+
+    One action per iteration; used as the convergence predicate.
+    """
+    # bit_xor, not sum: order-independent, cannot overflow under ANSI
+    # mode, and sound as a set checksum because _canon edges are distinct
+    row = (
+        _canon(edges)
+        .select(F.xxhash64(F.col("u").cast("string"), F.col("v").cast("string")).alias("h"))
+        .agg(F.count("*").alias("n"), F.coalesce(F.expr("bit_xor(h)"), F.lit(0)).alias("h"))
+        .first()
+    )
+    return int(row["n"]), int(row["h"])
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to min(N(u) ∪ {u})."""
+    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    mins = mins.select("u", F.least(F.col("mn"), F.col("u")).alias("m"))
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient edges large→small; connect each small neighbor (and u) to
+    the minimum of u's small neighborhood."""
+    directed = _canon(edges)  # (u, v) with v < u
+    mins = directed.groupBy("u").agg(F.min("v").alias("m"))
+    attached = (
+        directed.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    self_edges = mins.select(F.col("u"), F.col("m").alias("v"))
+    return (
+        attached.union(self_edges)
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "a",
+    dst: str = "b",
+    max_iter: int = 50,
+    checkpoint_every: int = 1,
+    checkpoint_dir: Optional[str] = None,
+) -> DataFrame:
+    """(node, component) for every node in ``edges``; component = the
+    minimum node id in the node's connected component.
+
+    Alternates large-star / small-star until the canonical edge set is
+    unchanged (count + order-independent hash checksum — one tiny
+    aggregate action per round). Converges in O(log n) rounds; every
+    round is two shuffles on node id, nothing is collected.
+    """
+    spark = edges.sparkSession
+    work = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    work = _canon(work)
+
+    held: DataFrame | None = None
+
+    def _materialize(df: DataFrame, it: int) -> DataFrame:
+        nonlocal held
+        if checkpoint_dir is not None:
+            path = os.path.join(checkpoint_dir, f"cc_{it}")
+            df.write.mode("overwrite").parquet(path)
+            return spark.read.parquet(path)
+        out = sparkutil.checkpoint(df)
+        sparkutil.free(held)
+        held = out
+        return out
+
+    prev = _edge_checksum(work)
+    if prev[0] == 0:
+        schema_node = edges.schema[src].dataType
+        return spark.createDataFrame([], f"node {schema_node.simpleString()}, component {schema_node.simpleString()}")
+
+    for it in range(max_iter):
+        work = _small_star(_large_star(work))
+        if (it + 1) % checkpoint_every == 0:
+            work = _materialize(work, it)
+        cur = _edge_checksum(work)
+        if cur == prev:
+            break
+        prev = cur
+
+    # converged edge set is a star forest: (u=node, v=root) with root < node
+    stars = _canon(work)
+    comps = stars.select(F.col("u").alias("node"), F.col("v").alias("component")).union(
+        stars.select(F.col("v").alias("node"), F.col("v").alias("component"))
+    ).distinct()
+    result = comps.localCheckpoint(eager=True) if checkpoint_dir is None else comps
+    sparkutil.free(held)
+    return result
+
+
+# ---------------------------------------------------------------------------
+# duplicate clustering over near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def duplicate_clusters(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """(doc_id, component) for EVERY document: near-duplicate pairs
+    (LSH candidates → Jaccard verify, see dedup.near_duplicate_pairs)
+    chained into clusters; docs in no pair form singleton clusters.
+
+    component = min doc id of the cluster — the canonical survivor a
+    training-data pipeline keeps.
+    """
+    from webcrawler_spark.operators.dedup import near_duplicate_pairs
+
+    pairs = near_duplicate_pairs(docs, id_col, text_col, n, bands, threshold)
+    cc = connected_components(pairs.select("a", "b"), "a", "b")
+    return (
+        docs.select(F.col(id_col))
+        .join(cc, F.col(id_col) == F.col("node"), "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
+        )
+    )
+
+
+def drop_near_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Keep one canonical doc (minimum id) per near-duplicate cluster."""
+    clusters = duplicate_clusters(docs, id_col, text_col, n, bands, threshold)
+    keep = clusters.where(F.col(id_col) == F.col("component")).select(id_col)
+    return docs.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# PageRank (host-graph frontier prioritization)
+# ---------------------------------------------------------------------------
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    alpha: float = 0.85,
+    n_iter: int = 10,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """(node, rank) after ``n_iter`` power iterations over the directed
+    edge set; ranks sum to 1.
+
+    rank'(v) = (1-α)/N + α·(Σ_{u→v} rank(u)/outdeg(u) + dangling/N)
+
+    Per iteration: one shuffle (the dst aggregate) plus a tiny 1-row
+    dangling-mass aggregate crossJoined back in (kept distributed — no
+    per-iteration driver action). The edge+degree table is computed
+    once and cached; at cluster scale it should be written bucketed by
+    src so every iteration's join is co-located and shuffle-free.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    e_deg = e.join(deg, "src").persist()
+    nodes = nodes.persist()
+
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    held: DataFrame | None = None
+    for it in range(n_iter):
+        contrib = (
+            e_deg.join(ranks, e_deg["src"] == ranks["node"])
+            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        dangling = (
+            ranks.join(deg, ranks["node"] == deg["src"], "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(dangling)
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - alpha) / n)
+                    + F.lit(alpha)
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.col("dangling") / F.lit(float(n))
+                    )
+                ).alias("rank"),
+            )
+        )
+        if (it + 1) % checkpoint_every == 0 and (it + 1) < n_iter:
+            new_held = sparkutil.checkpoint(ranks)
+            sparkutil.free(held)
+            held = new_held
+            ranks = new_held
+    out = ranks.localCheckpoint(eager=True)
+    sparkutil.free(held)
+    e_deg.unpersist()
+    nodes.unpersist()
+    return out
