@@ -24,10 +24,13 @@ model as the crawl engine's round loop:
   node.
 
 Iterative-loop hygiene (found the hard way in this repo — BENCH.md):
-lineage is truncated every ``checkpoint_every`` iterations via
-``sparkutil.checkpoint`` (tracked localCheckpoint, freed afterwards);
-at production scale pass ``checkpoint_dir`` to round-trip through
-parquet instead, which also gives honest size stats to AQE.
+intermediate state is materialized every ``checkpoint_every``
+iterations via persist+count (InMemoryRelation keeps honest size
+stats, so joins over the materialized state stay broadcastable —
+localCheckpoint's LogicalRDD inherits pessimistic join-product stats
+and silently de-optimizes later rounds); at production scale pass
+``checkpoint_dir`` to round-trip through parquet instead, which both
+truncates lineage durably and gives real file stats to AQE.
 """
 
 from __future__ import annotations
@@ -126,6 +129,14 @@ def connected_components(
     held: DataFrame | None = None
 
     def _materialize(df: DataFrame, it: int) -> DataFrame:
+        # localCheckpoint, not persist: the loop state must have its
+        # LOGICAL PLAN truncated each round, or Catalyst re-analyzes a
+        # tree that grows by two joins + two aggregates per iteration
+        # (on top of a possibly-huge upstream plan like the LSH→Jaccard
+        # pipeline) and driver-side planning quickly dwarfs execution —
+        # measured 8× slower with persist() on the sandbox. The
+        # pessimistic LogicalRDD stats are harmless here: star rounds
+        # join on node id and neither side should broadcast anyway.
         nonlocal held
         if checkpoint_dir is not None:
             path = os.path.join(checkpoint_dir, f"cc_{it}")
@@ -136,8 +147,13 @@ def connected_components(
         held = out
         return out
 
+    # materialize the input ONCE: edges often arrive as an expensive
+    # upstream plan (e.g. the LSH→Jaccard pipeline) that must not be
+    # recomputed by every star round + checksum action
+    work = _materialize(work, -1)
     prev = _edge_checksum(work)
     if prev[0] == 0:
+        sparkutil.free(held)
         schema_node = edges.schema[src].dataType
         return spark.createDataFrame([], f"node {schema_node.simpleString()}, component {schema_node.simpleString()}")
 
@@ -219,7 +235,7 @@ def pagerank(
     dst: str = "dst",
     alpha: float = 0.85,
     n_iter: int = 10,
-    checkpoint_every: int = 5,
+    checkpoint_every: int = 2,
 ) -> DataFrame:
     """(node, rank) after ``n_iter`` power iterations over the directed
     edge set; ranks sum to 1.
@@ -232,18 +248,23 @@ def pagerank(
     once and cached; at cluster scale it should be written bucketed by
     src so every iteration's join is co-located and shuffle-free.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    # materialize the static side ONCE (persist, not localCheckpoint —
+    # InMemoryRelation keeps honest size stats, see BENCH.md): edges may
+    # be an expensive upstream plan, and deg/nodes are touched by every
+    # iteration
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct().persist()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        .persist()
     )
-    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    deg = e.groupBy("src").agg(F.count("*").alias("deg")).persist()
     n = nodes.count()
     if n == 0:
+        e.unpersist()
         return nodes.withColumn("rank", F.lit(0.0))
     e_deg = e.join(deg, "src").persist()
-    nodes = nodes.persist()
 
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     held: DataFrame | None = None
@@ -274,12 +295,17 @@ def pagerank(
             )
         )
         if (it + 1) % checkpoint_every == 0 and (it + 1) < n_iter:
+            # truncate the plan (localCheckpoint), don't just cache:
+            # each iteration nests ~5 joins/aggregates and unbounded
+            # plan depth turns driver planning into the bottleneck
             new_held = sparkutil.checkpoint(ranks)
             sparkutil.free(held)
             held = new_held
             ranks = new_held
     out = ranks.localCheckpoint(eager=True)
     sparkutil.free(held)
+    e.unpersist()
     e_deg.unpersist()
+    deg.unpersist()
     nodes.unpersist()
     return out
