@@ -318,6 +318,35 @@ def _q_near_dup_pipeline(spark, sf):
     return near_duplicate_pairs(_docs(spark, sf), threshold=0.2)
 
 
+def _q_gopher_quality(spark, sf):
+    """Gopher-style rule gate (word count, mean word length, symbol
+    ratio, stopword presence, bigram repetition) — one boolean per
+    rule so the drop-reason histogram is auditable."""
+    from webcrawler_spark.operators.cleaning import gopher_quality_flags
+
+    return gopher_quality_flags(
+        _docs(spark, sf),
+        min_words=20,
+        max_words=80,
+        min_avg_word_len=3.0,
+        max_avg_word_len=10.0,
+        max_symbol_ratio=0.1,
+        min_stopword_hits=2,
+        max_dup_2gram_ratio=0.05,
+    )
+
+
+def _q_segment_dedup(spark, sf):
+    """CCNet-style corpus-level segment dedup: 8-word blocks duplicated
+    across the corpus are dropped except their first (doc,pos)
+    occurrence; docs are reassembled in order."""
+    from webcrawler_spark.operators.cleaning import dedup_text_segments
+
+    return dedup_text_segments(
+        _docs(spark, sf), words_per_segment=8, max_dupes=1
+    )
+
+
 def _q_duplicate_clusters(spark, sf):
     """Near-dup pairs chained into clusters: LSH→Jaccard pairs fed to
     large-star/small-star connected components; every doc gets a
@@ -755,6 +784,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_pipeline": _q_near_dup_pipeline,
         "duplicate_clusters": _q_duplicate_clusters,
         "host_pagerank": _q_host_pagerank,
+        "gopher_quality": _q_gopher_quality,
+        "segment_dedup": _q_segment_dedup,
         "simhash": _q_simhash,
         "simhash_near_pairs": _q_simhash_near_pairs,
         "text_quality": _q_text_quality,
@@ -1068,6 +1099,78 @@ def oracle_sql() -> dict[str, str]:
             from documents d left join comp c on c.node = d.doc_id
         """,
         "host_pagerank": _pagerank_oracle_sql(n_iter=5),
+        "gopher_quality": f"""
+            with s as (
+              select doc_id,
+                     string_split(text, ' ') as ws,
+                     length(string_split(text, ' ')) as n_tok,
+                     length(text) as n_chr,
+                     len(string_split(text, '#')) - 1 as n_hash,
+                     len(string_split(text, '...')) - 1 as n_ell
+              from documents),
+            m as (
+              select doc_id, n_tok,
+                     (n_chr - n_tok + 1) / n_tok as avg_len,
+                     (n_hash + n_ell) / n_tok as symbol_ratio,
+                     len(list_filter(ws, w -> w in {_STOPWORDS_SQL}))
+                       as stop_hits,
+                     greatest(n_tok - 1, 0) as nb,
+                     case when n_tok - 1 < 1 then 0.0
+                          else (greatest(n_tok - 1, 0)
+                                - len(list_distinct(list_transform(
+                                    generate_series(1, greatest(n_tok - 1, 1)),
+                                    i -> array_to_string(
+                                      list_slice(ws, i, i + 1), ' ')))))
+                               / greatest(n_tok - 1, 0)
+                     end as dup_ratio
+              from s)
+            select doc_id,
+                   n_tok between 20 and 80 as ok_word_count,
+                   avg_len >= 3.0 and avg_len <= 10.0 as ok_avg_word_len,
+                   symbol_ratio <= 0.1 as ok_symbol_ratio,
+                   stop_hits >= 2 as ok_stopwords,
+                   dup_ratio <= 0.05 as ok_repetition,
+                   (n_tok between 20 and 80)
+                     and (avg_len >= 3.0 and avg_len <= 10.0)
+                     and (symbol_ratio <= 0.1)
+                     and (stop_hits >= 2)
+                     and (dup_ratio <= 0.05) as keep
+            from m
+        """,
+        "segment_dedup": """
+            with w as (select doc_id, string_split(text, ' ') as ws
+                       from documents),
+            base as (select doc_id, ws,
+                            greatest(cast(ceil(length(ws) / 8.0) as bigint), 1)
+                              as nseg
+                     from w),
+            seg as (
+              select doc_id,
+                     unnest(list_transform(generate_series(1, nseg),
+                       i -> struct_pack(
+                              pos := i,
+                              seg := array_to_string(
+                                list_slice(ws, (i - 1) * 8 + 1,
+                                           (i - 1) * 8 + 8), ' ')))) as u
+              from base),
+            occ as (select doc_id, u.pos as pos, u.seg as seg from seg),
+            marked as (
+              select doc_id, pos, seg,
+                     count(*) over (partition by seg) as cnt,
+                     row_number() over (partition by seg
+                                        order by doc_id, pos) as rn
+              from occ),
+            kept as (select * from marked where cnt <= 1 or rn = 1),
+            agg as (select doc_id,
+                           string_agg(seg, ' ' order by pos) as clean_text,
+                           count(*) as n_kept
+                    from kept group by doc_id)
+            select b.doc_id,
+                   coalesce(a.clean_text, '') as clean_text,
+                   coalesce(a.n_kept, 0) as n_kept,
+                   b.nseg as n_total
+            from base b left join agg a on a.doc_id = b.doc_id
+        """,
         "simhash": """
             with words as (
               select doc_id, unnest(list_distinct(string_split(text, ' '))) as w

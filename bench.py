@@ -44,6 +44,8 @@ BENCH_QUERIES = [
     "near_dup_pipeline",
     "duplicate_clusters",
     "host_pagerank",
+    "gopher_quality",
+    "segment_dedup",
     "embedding_near_dup",
     "politeness_schedule",
     "sessionize",
