@@ -170,7 +170,14 @@ class ParquetCatalog:
 
     durable = True
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, as_of_round: int | None = None):
+        """Open the catalog at its latest snapshot, or — time travel —
+        at the newest snapshot with ``round <= as_of_round``. Opening
+        as-of an older snapshot forks history: subsequent commits
+        append new manifest rows (the rounds list stays append-only and
+        the latest row is the fork head), and ``_seq`` restarts above
+        the MAX seq ever allocated so new data dirs can never clobber
+        dirs referenced by the rounds being forked away."""
         self.spark = spark
         self.root = root
         os.makedirs(root, exist_ok=True)
@@ -178,10 +185,15 @@ class ParquetCatalog:
         self._dirs: dict[str, list[str]] = {}
         self._seq = 0
         self._lock = threading.Lock()  # concurrent round-job writes
-        last = self._last_round()
+        self._as_of = as_of_round
+        last = self._round_row(as_of_round)
         if last is not None:
             self._dirs = {t: list(ds) for t, ds in last["tables"].items()}
-            self._seq = last["seq"]
+            self._seq = (
+                last["seq"]
+                if as_of_round is None
+                else max(r["seq"] for r in self._manifest()["rounds"])
+            )
 
     # -- manifest ------------------------------------------------------
     def _manifest(self) -> dict:
@@ -190,13 +202,47 @@ class ParquetCatalog:
                 return json.load(f)
         return {"rounds": []}
 
-    def _last_round(self) -> Optional[dict]:
+    def _round_row(self, as_of_round: int | None) -> Optional[dict]:
+        """Newest manifest row, or the newest with round <= as_of_round."""
         rounds = self._manifest()["rounds"]
-        return rounds[-1] if rounds else None
+        if not rounds:
+            return None
+        if as_of_round is None:
+            return rounds[-1]
+        eligible = [r for r in rounds if r["round"] <= as_of_round]
+        if not eligible:
+            raise ValueError(
+                f"no snapshot at or before round {as_of_round}; "
+                f"earliest committed round is {rounds[0]['round']}"
+            )
+        return eligible[-1]
+
+    def _last_round(self) -> Optional[dict]:
+        return self._round_row(None)
 
     def load_state(self) -> Optional[dict]:
-        last = self._last_round()
+        last = self._round_row(self._as_of)
         return dict(last["state"]) if last else None
+
+    # -- time travel ---------------------------------------------------
+    def snapshots(self) -> list[dict]:
+        """One row per committed snapshot: round, commit ts, tables."""
+        return [
+            {"round": r["round"], "ts": r["ts"], "tables": sorted(r["tables"])}
+            for r in self._manifest()["rounds"]
+        ]
+
+    def read_as_of(self, name: str, round_no: int) -> Optional[DataFrame]:
+        """Read a table as of the newest snapshot with round <= round_no
+        (Iceberg time-travel analog; data dirs are immutable so every
+        committed snapshot stays readable)."""
+        row = self._round_row(round_no)
+        if row is None:
+            return None
+        dirs = row["tables"].get(name)
+        if not dirs:
+            return None
+        return self.spark.read.parquet(*dirs)
 
     def commit_round(self, round_no: int, state: dict) -> None:
         """Atomically publish this round's snapshot (write-then-rename)."""
