@@ -318,6 +318,16 @@ def _q_near_dup_pipeline(spark, sf):
     return near_duplicate_pairs(_docs(spark, sf), threshold=0.2)
 
 
+def _q_tfidf_top_terms(spark, sf):
+    """Corpus statistics: top-3 tf-idf terms per doc (explode → two
+    hash aggregates → per-doc window rank; no self-join)."""
+    from webcrawler_spark.operators.textstats import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf), k=3).withColumn(
+        "rank", F.col("rank").cast("long")  # DuckDB row_number is BIGINT
+    )
+
+
 def _q_gopher_quality(spark, sf):
     """Gopher-style rule gate (word count, mean word length, symbol
     ratio, stopword presence, bigram repetition) — one boolean per
@@ -786,6 +796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_pagerank": _q_host_pagerank,
         "gopher_quality": _q_gopher_quality,
         "segment_dedup": _q_segment_dedup,
+        "tfidf_top_terms": _q_tfidf_top_terms,
         "simhash": _q_simhash,
         "simhash_near_pairs": _q_simhash_near_pairs,
         "text_quality": _q_text_quality,
@@ -1099,6 +1110,27 @@ def oracle_sql() -> dict[str, str]:
             from documents d left join comp c on c.node = d.doc_id
         """,
         "host_pagerank": _pagerank_oracle_sql(n_iter=5),
+        "tfidf_top_terms": """
+            with words as (select doc_id, unnest(string_split(text, ' '))
+                             as term
+                           from documents),
+            tf as (select doc_id, term, count(*) as cnt
+                   from words group by doc_id, term),
+            dl as (select doc_id, count(*) as len
+                   from words group by doc_id),
+            dfq as (select term, count(*) as df from tf group by term),
+            nd as (select count(distinct doc_id) as n from documents),
+            scored as (
+              select tf.doc_id, tf.term,
+                     round((tf.cnt / dl.len) * ln(nd.n / dfq.df), 6)
+                       as tfidf
+              from tf join dl using (doc_id) join dfq using (term)
+              cross join nd)
+            select doc_id, term, tfidf,
+                   row_number() over (partition by doc_id
+                                      order by tfidf desc, term) as rank
+            from scored qualify rank <= 3
+        """,
         "gopher_quality": f"""
             with s as (
               select doc_id,

@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "host_pagerank",
     "gopher_quality",
     "segment_dedup",
+    "tfidf_top_terms",
     "embedding_near_dup",
     "politeness_schedule",
     "sessionize",

@@ -316,3 +316,38 @@ def test_winnow_short_docs(spark):
         by_doc.setdefault(r["doc_id"], []).append(r["fp"])
     assert 0 not in by_doc
     assert len(by_doc[1]) == 1
+
+
+def test_tfidf_top_terms_matches_python_reference(spark):
+    import math
+    from collections import Counter
+
+    rows = [
+        (0, "spark shuffles data across the big cluster"),
+        (1, "spark caches data in memory for the iterative job"),
+        (2, "ducks swim across the quiet pond at dawn"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # pure-python reference with identical formula + tiebreak
+    texts = {i: t.split(" ") for i, t in rows}
+    n = len(texts)
+    docfreq = Counter(term for ws in texts.values() for term in set(ws))
+    want = {}
+    for i, ws in texts.items():
+        tf = Counter(ws)
+        scored = sorted(
+            (
+                (round(tf[t] / len(ws) * math.log(n / docfreq[t]), 6), t)
+                for t in tf
+            ),
+            key=lambda x: (-x[0], x[1]),
+        )[:3]
+        want[i] = [(t, s) for s, t in scored]
+
+    got = {}
+    out = textstats.tfidf_top_terms(df, k=3).collect()
+    for r in sorted(out, key=lambda r: (r["doc_id"], r["rank"])):
+        got.setdefault(r["doc_id"], []).append((r["term"], r["tfidf"]))
+        assert 1 <= r["rank"] <= 3
+    assert got == want

@@ -15,6 +15,9 @@ Operators (each df→df, composable):
 * lang_id            — marker-word n-gram heuristic language guess
 * fingerprint        — normalized-text md5 (doc identity for dedup)
 * first_n_words      — P10 as a reusable projection
+* bpe_token_count    — subword-pretokenizer token metering
+* tfidf_top_terms    — per-doc top-k tf-idf terms (corpus statistics)
+* winnow_fingerprints— local-similarity fingerprints (SIGMOD'03)
 """
 
 from __future__ import annotations
@@ -120,6 +123,53 @@ def bpe_token_count(text: Column) -> Column:
     ~N-subwords-per-pretoken scaling turns this into the token budget a
     training pipeline actually meters."""
     return F.size(F.regexp_extract_all(text, F.lit(BPE_PRETOKEN_RE), 0))
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k terms per document by tf-idf: (doc_id, term, tfidf, rank).
+
+    tf = term count / doc token count; idf = ln(N / docs-containing);
+    ties broken by term ascending (deterministic). Plan shape at scale:
+    one explode + two hash aggregates (term stats shuffle on term, doc
+    stats on doc id), a broadcast-size doc-count, then a per-doc window
+    rank — no self-joins, nothing global. tfidf is rounded to 6
+    decimals; the last-ulp difference between the JVM's and a SQL
+    oracle's ln() is ~1e-16 relative, far below the rounding quantum.
+    """
+    from pyspark.sql.window import Window
+
+    words = df.select(
+        F.col(id_col), F.explode(words_col(F.col(text_col))).alias("term")
+    )
+    tf = words.groupBy(id_col, "term").agg(F.count("*").alias("cnt"))
+    doc_len = words.groupBy(id_col).agg(F.count("*").alias("len"))
+    docfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.select(F.countDistinct(id_col).alias("n"))
+    scored = (
+        tf.join(doc_len, id_col)
+        .join(docfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "term",
+            F.round(
+                (F.col("cnt") / F.col("len"))
+                * F.log(F.col("n") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "term", "tfidf", "rank")
+    )
 
 
 def winnow_fingerprints(
