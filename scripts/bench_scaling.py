@@ -41,6 +41,18 @@ LIMIT = int(os.environ.get("SPARK_GRAFT_BENCH_LIMIT", "120000"))
 
 
 def child(cpus: int) -> None:
+    # Pin the whole child process tree (driver JVM, executor task
+    # threads, pyspark.daemon UDF workers) to exactly `cpus` logical
+    # CPUs. Without this the small arm's JVM service threads (GC,
+    # netty, parquet IO) and Python workers borrow the box's idle
+    # cores, overstating the N arm and understating scaling
+    # efficiency — local[k] caps task slots, not process CPU.
+    # SPARK_GRAFT_BENCH_CORE_OFFSET places the pin window, so two arms
+    # can run CONCURRENTLY on disjoint cores (see parent()).
+    off = int(os.environ.get("SPARK_GRAFT_BENCH_CORE_OFFSET", "0"))
+    if hasattr(os, "sched_setaffinity"):
+        os.sched_setaffinity(0, set(range(off, off + cpus)))
+
     from pyspark.sql import SparkSession
 
     from webcrawler_spark.engine import CrawlConfig
@@ -76,8 +88,15 @@ def child(cpus: int) -> None:
         limit=LIMIT,
         max_rounds=8,
         collect_metrics=False,
-        max_urls_per_host_per_round=50,
-        round_window=10.0,
+        # round size knobs: production rounds are minutes-to-hours, so
+        # the per-round driver-fixed cost (~4 s: query compile, job
+        # scheduling, snapshot commit) amortizes to noise; at sandbox
+        # scale it is the main efficiency drag, so the bench exposes
+        # the round size to measure at more production-like ratios
+        max_urls_per_host_per_round=int(
+            os.environ.get("SPARK_GRAFT_BENCH_PER_HOST", "50")
+        ),
+        round_window=float(os.environ.get("SPARK_GRAFT_BENCH_WINDOW", "10.0")),
         n_buckets=cpus,
     )
     t0 = time.time()
@@ -98,40 +117,82 @@ def child(cpus: int) -> None:
     )
 
 
+def _run_child(cpus: int, offset: int) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_BENCH_CORE_OFFSET=str(offset))
+    out = subprocess.run(
+        [sys.executable, __file__, "--child", str(cpus)],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        env=env,
+        timeout=3000,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    print(line, file=sys.stderr)
+    return json.loads(line)
+
+
 def parent() -> None:
-    # A-B-B-A interleave, best-of-2 per arm: this sandbox's CPU supply
-    # is bursty (calibrated busy-loop throughput swings ±50% between
-    # minutes), so a single N measurement followed by a single 4N
-    # measurement confounds box drift with engine scaling. Best-of-2
-    # with the arms interleaved bounds each arm's exposure to a slow
-    # phase; the best rate is the closest observable to the engine's
-    # true throughput at that parallelism.
-    runs: dict[int, list[dict]] = {2: [], 8: []}
-    for cpus in (2, 8, 8, 2):
-        out = subprocess.run(
-            [sys.executable, __file__, "--child", str(cpus)],
-            capture_output=True,
-            text=True,
-            cwd=REPO,
-            timeout=3000,
+    # CONCURRENT arms on disjoint pinned core sets. This sandbox's CPU
+    # delivery is bursty on a tens-of-seconds timescale (calibrated
+    # with scripts/calibrate_box.py: the same pinned core measured 205
+    # vs 385 html-parses/s minutes apart, while all 32 cores are
+    # homogeneous within ±4% when probed back-to-back), so ANY
+    # sequential A-then-B comparison confounds box weather with engine
+    # scaling — observed spread between identical sequential arms was
+    # 22-27%. Instead the N arm (cores 0-1) and a loop of 4N arms
+    # (cores 8-15) run AT THE SAME TIME: every burst or stall hits
+    # both arms together. The 4N arm is ~2.8x shorter, so it repeats
+    # until the N arm finishes and the best 4N sample is compared to
+    # the N rate (contention between arms is nil: disjoint cores, and
+    # combined peak well under the box's 32).
+    # Protocol: K synchronized pairs. Each pair launches the N child
+    # (cores 0-1) and the 4N child (cores 8-15) at the same instant;
+    # the shorter 4N run is contained in the N run's wall window, so
+    # every 4N second shares the box weather with the N arm. Pair
+    # efficiency = (rate_4N / rate_N) / 4; the headline is the median
+    # over pairs (best/worst also reported).
+    import statistics
+    import threading
+
+    k_pairs = int(os.environ.get("SPARK_GRAFT_BENCH_PAIRS", "2"))
+    pairs: list[dict] = []
+    for i in range(k_pairs):
+        res: dict[int, dict] = {}
+
+        def run(cpus: int, off: int) -> None:
+            res[cpus] = _run_child(cpus, off)
+
+        threads = [
+            threading.Thread(target=run, args=(2, 0)),
+            threading.Thread(target=run, args=(8, 8)),
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        r_n, r_4n = res[2]["pages_per_sec"], res[8]["pages_per_sec"]
+        pairs.append(
+            {
+                "pair": i,
+                "rate_n": r_n,
+                "rate_4n": r_4n,
+                "efficiency": round((r_4n / r_n) / 4, 3) if r_n else 0.0,
+                "detail": res,
+            }
         )
-        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-        runs[cpus].append(json.loads(line))
-        print(line, file=sys.stderr)
-    results = {
-        c: max(rs, key=lambda r: r["pages_per_sec"]) for c, rs in runs.items()
-    }
-    r_n, r_4n = results[2]["pages_per_sec"], results[8]["pages_per_sec"]
-    eff = (r_4n / r_n) / 4 if r_n else 0.0
+    effs = [p["efficiency"] for p in pairs]
+    med = statistics.median(effs)
+    best = max(pairs, key=lambda p: p["efficiency"])
     print(
         json.dumps(
             {
                 "n_cores": 2,
-                "rate_n": r_n,
-                "rate_4n": r_4n,
-                "scaling_efficiency": round(eff, 3),
-                "detail": results,
-                "all_runs": runs,
+                "rate_n": best["rate_n"],
+                "rate_4n": best["rate_4n"],
+                "scaling_efficiency": round(med, 3),
+                "scaling_efficiency_best_pair": best["efficiency"],
+                "pairs": pairs,
             }
         )
     )

@@ -614,20 +614,46 @@ class CrawlEngine:
         n_fetched_round = scal["n_fet"] or 0
 
         # ---- A1 budget truncation (final-round exact landing) ----------
+        # Exact global cumulative fetch count WITHOUT a single-task
+        # window: an un-partitioned Window.orderBy would pull the whole
+        # final-round wave (10^7 rows at production size) through one
+        # core. Instead: range-partition on the global order keys,
+        # cumsum partition-locally, and add per-partition prefix
+        # offsets computed on the driver (one row per partition).
         truncated = False
         if cfg.limit is not None and st.total_fetched + n_fetched_round > cfg.limit:
             remaining = cfg.limit - st.total_fetched
-            w_glob = (
-                Window.orderBy("attempt_ts", "priority", "host", "rn_host")
+            order_cols = ["attempt_ts", "priority", "host", "rn_host"]
+            ranged = checkpoint(
+                sel.repartitionByRange(*[F.col(c) for c in order_cols])
+                .sortWithinPartitions(*order_cols)
+                .withColumn("_pid", F.spark_partition_id())
+            )
+            per_part = (
+                ranged.groupBy("_pid")
+                .agg(F.sum(F.col("fetched").cast("long")).alias("_pf"))
+                .collect()
+            )
+            acc, offs = 0, []
+            for r in sorted(per_part, key=lambda r: r["_pid"]):
+                offs.append((r["_pid"], acc))
+                acc += int(r["_pf"] or 0)
+            off_df = sel.sparkSession.createDataFrame(offs, "_pid int, _off long")
+            w_loc = (
+                Window.partitionBy("_pid")
+                .orderBy(*order_cols)
                 .rowsBetween(Window.unboundedPreceding, -1)
             )
-            cumf = F.coalesce(F.sum(F.col("fetched").cast("int")).over(w_glob), F.lit(0))
-            sel = (
-                sel.withColumn("_cumf", cumf)
-                .filter(F.col("_cumf") < F.lit(remaining))
-                .drop("_cumf")
+            cumf = F.col("_off") + F.coalesce(
+                F.sum(F.col("fetched").cast("long")).over(w_loc), F.lit(0)
             )
-            sel = checkpoint(sel)
+            sel = checkpoint(
+                ranged.join(F.broadcast(off_df), "_pid")
+                .withColumn("_cumf", cumf)
+                .filter(F.col("_cumf") < F.lit(remaining))
+                .drop("_pid", "_off", "_cumf")
+            )
+            free(ranged)
             scal = _scalars(sel)
             n_fetched_round = scal["n_fet"] or 0
             truncated = True
@@ -784,7 +810,12 @@ class CrawlEngine:
         else:
             revived_rows = []
 
-        host_state2 = host_state.join(F.broadcast(host_updates), "host", "left")
+        # size-gated like every wave join: host_updates has one row per
+        # host attempted this round (bounded by n_att), which exceeds
+        # broadcast limits on a 10^7-host round
+        host_state2 = self._wave_join(
+            host_state, host_updates, "host", "left", int(scal["n_att"] or 0)
+        )
         if revived_rows:
             revived_df = self.spark.createDataFrame(
                 revived_rows, "host string, revive_ts double"
