@@ -34,10 +34,15 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
 sys.path.insert(0, REPO)
 
-HOSTS = int(os.environ.get("SPARK_GRAFT_BENCH_HOSTS", "8000"))
+# Defaults = the BENCH.md headline configuration: 640k-page corpus,
+# 240k-page budget, 4 frontier rounds. Rounds this size keep the
+# per-round driver-fixed cost under ~10% of the 4N arm's wall, i.e.
+# closer to the production regime where rounds are large (the fixed
+# cost is O(rounds), not O(pages)).
+HOSTS = int(os.environ.get("SPARK_GRAFT_BENCH_HOSTS", "16000"))
 PAGES_PER_HOST = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "40"))
 BODY_KB = int(os.environ.get("SPARK_GRAFT_BENCH_BODY_KB", "32"))
-LIMIT = int(os.environ.get("SPARK_GRAFT_BENCH_LIMIT", "120000"))
+LIMIT = int(os.environ.get("SPARK_GRAFT_BENCH_LIMIT", "240000"))
 
 
 def child(cpus: int) -> None:
