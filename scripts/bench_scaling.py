@@ -198,6 +198,12 @@ def parent() -> None:
                 "scaling_efficiency": round(med, 3),
                 "scaling_efficiency_best_pair": best["efficiency"],
                 "pairs": pairs,
+                "config": {
+                    "hosts": HOSTS,
+                    "pages_per_host": PAGES_PER_HOST,
+                    "body_kb": BODY_KB,
+                    "limit": LIMIT,
+                },
             }
         )
     )
