@@ -72,6 +72,45 @@ def test_bloom_membership_no_false_negatives(hashes):
     assert bits.all()
 
 
+def test_shard_join_mode_too_big_to_broadcast(spark):
+    """The 10^10-URL topology: broadcast_cap_bytes=0 forces the
+    cogrouped shard-key probe — the filter stays a (shard, bitmap)
+    DataFrame, never one driver/broadcast object — and the routing must
+    still be exactly the left_anti join. Extra candidate columns ride
+    through the cogroup untouched."""
+    seen = spark.createDataFrame(
+        [(f"https://h{i % 5}.x/p{i}",) for i in range(0, 600, 3)], "url string"
+    )
+    cand = spark.createDataFrame(
+        [(f"https://h{i % 5}.x/p{i}", i) for i in range(600)], "url string, depth int"
+    )
+    out = anti_join_with_bloom(
+        cand, seen, "url", n_shards=4, broadcast_cap_bytes=0
+    )
+    got = {(r["url"], r["depth"]) for r in out.collect()}
+    want = {
+        (r["url"], r["depth"])
+        for r in cand.join(seen, "url", "left_anti").collect()
+    }
+    assert got == want
+    assert len(want) == 400
+    # the physical plan must contain the cogroup, i.e. the probe really
+    # ran as a shard-key join rather than a whole-filter broadcast UDF
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan
+
+
+def test_broadcast_and_shard_join_tag_identically(spark):
+    """Both probe modes are the same filter — forcing each mode must
+    yield identical survivor sets (same hashes, same per-shard bitmaps)."""
+    seen = spark.createDataFrame([(f"u{i}",) for i in range(0, 400, 2)], "url string")
+    cand = spark.createDataFrame([(f"u{i}",) for i in range(400)], "url string")
+    kw = dict(col="url", n_shards=4, m_bits=4096)
+    a = {r["url"] for r in anti_join_with_bloom(cand, seen, mode="broadcast", **kw).collect()}
+    b = {r["url"] for r in anti_join_with_bloom(cand, seen, mode="shard_join", **kw).collect()}
+    assert a == b
+
+
 def test_build_bloom_distributed_matches_local(spark):
     """mapInPandas partial-bitmap OR-merge == single-pass build."""
     import numpy as np

@@ -137,6 +137,41 @@ def test_insert_is_idempotent():
     assert int((table != 0).sum()) == occupied
 
 
+def test_shard_join_mode_too_big_to_broadcast(spark):
+    """Forced shard-join probe (broadcast_cap_bytes=0): the filter stays
+    a (shard, table, stash) DataFrame probed via cogroup — the topology
+    a ~25 GiB 10^10-URL filter requires — and routing is still exactly
+    the left_anti join."""
+    seen = spark.createDataFrame(
+        [(f"https://h{i % 5}.x/p{i}",) for i in range(0, 600, 3)], "url string"
+    )
+    cand = spark.createDataFrame(
+        [(f"https://h{i % 5}.x/p{i}", i) for i in range(600)], "url string, depth int"
+    )
+    out = anti_join_with_cuckoo(
+        cand, seen, "url", n_shards=4, broadcast_cap_bytes=0
+    )
+    got = {(r["url"], r["depth"]) for r in out.collect()}
+    want = {
+        (r["url"], r["depth"])
+        for r in cand.join(seen, "url", "left_anti").collect()
+    }
+    assert got == want
+    assert len(want) == 400
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan
+
+
+def test_broadcast_and_shard_join_tag_identically(spark):
+    """Same shards either way ⇒ identical survivor sets in both modes."""
+    seen = spark.createDataFrame([(f"u{i}",) for i in range(0, 400, 2)], "url string")
+    cand = spark.createDataFrame([(f"u{i}",) for i in range(400)], "url string")
+    kw = dict(col="url", n_shards=4, expected_items=256)
+    a = {r["url"] for r in anti_join_with_cuckoo(cand, seen, mode="broadcast", **kw).collect()}
+    b = {r["url"] for r in anti_join_with_cuckoo(cand, seen, mode="shard_join", **kw).collect()}
+    assert a == b
+
+
 def test_n_shards_must_be_pow2(spark):
     seen = spark.createDataFrame([("u",)], "url string")
     with pytest.raises(ValueError):

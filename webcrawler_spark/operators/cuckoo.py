@@ -22,6 +22,14 @@ single ``applyInPandas`` group task with a *vectorized* numpy insertion
 tiny residue a ≤0.84-load table leaves). At 10^10 URLs, 4096 shards
 are ~5 MiB each and build in parallel with no driver merge step.
 
+Probe topology is size-gated like bloom.py (``anti_join_with_cuckoo``):
+small filters collect the shard rows into one broadcast
+:class:`CuckooFilter`; past ``broadcast_cap_bytes`` the shards STAY a
+``(shard, table, stash)`` DataFrame and candidates meet their shard in
+a cogrouped ``applyInPandas`` on the shard key
+(operators/seenfilter.py) — at 10^10 URLs the aggregate ~25 GiB filter
+never touches the driver or any single broadcast.
+
 No per-row Python on the hot path: the two 64-bit hashes are native
 ``xxhash64`` columns (whole-stage codegen); Python stages do numpy
 array arithmetic only.
@@ -42,6 +50,12 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from webcrawler_spark.operators.seenfilter import (
+    DEFAULT_BROADCAST_CAP,
+    route_with_exact_join,
+    tag_maybe_seen_sharded,
+)
 
 SLOTS = 4  # slots per bucket (b=4: the paper's sweet spot for ≤0.95 load)
 _FP_SALT = "#wcspark-cuckoo-fp"
@@ -236,16 +250,19 @@ class CuckooFilter:
         return out
 
 
-def build_cuckoo(
+def build_cuckoo_shards(
     df: DataFrame,
     col: str,
     expected_items: int | None = None,
     n_shards: int = 8,
     load_factor: float = 0.84,
-) -> CuckooFilter:
-    """Build the sharded filter from df[col], fully distributed: one
-    applyInPandas task per shard, no driver-side merge (shards are
-    disjoint by construction)."""
+) -> tuple[DataFrame, int]:
+    """Build the sharded filter as a ``(shard int, table binary, stash
+    binary)`` DataFrame plus the per-shard bucket count, fully
+    distributed: one applyInPandas task per shard, no driver-side merge
+    (shards are disjoint by construction) and no driver residency —
+    this is the 100 TB build; ``build_cuckoo`` is the collected
+    small-scale tier."""
     if n_shards & (n_shards - 1):
         # probe-side shard = (h1 as uint64) % n_shards; Spark's pmod on
         # the signed value agrees with that only when n_shards | 2^64
@@ -269,11 +286,25 @@ def build_cuckoo(
             }
         )
 
-    rows = (
-        hashed.groupBy("shard")
-        .applyInPandas(build_shard, "shard int, table binary, stash binary")
-        .collect()
+    shards = hashed.groupBy("shard").applyInPandas(
+        build_shard, "shard int, table binary, stash binary"
     )
+    return shards, m
+
+
+def build_cuckoo(
+    df: DataFrame,
+    col: str,
+    expected_items: int | None = None,
+    n_shards: int = 8,
+    load_factor: float = 0.84,
+) -> CuckooFilter:
+    """Collected tier: run the distributed shard build, then gather the
+    shard rows into one :class:`CuckooFilter` for broadcast. Only valid
+    when the whole filter is broadcast-sized — the at-scale probe keeps
+    the shards as the DataFrame from ``build_cuckoo_shards`` instead."""
+    shards, m = build_cuckoo_shards(df, col, expected_items, n_shards, load_factor)
+    rows = shards.collect()
     return CuckooFilter(
         n_shards=n_shards,
         m_buckets=m,
@@ -294,23 +325,63 @@ def with_maybe_seen(df: DataFrame, col: str, filter_bc) -> DataFrame:
     return df.withColumn("maybe_seen", probe(c1, c2))
 
 
+def _probe_shard_pdf(m_buckets: int):
+    """Shard-join-mode membership test for seenfilter.tag_maybe_seen_sharded."""
+
+    def probe(shard_pdf: pd.DataFrame, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        table = np.frombuffer(shard_pdf["table"].iloc[0], dtype=np.uint16).reshape(
+            m_buckets, SLOTS
+        )
+        stash = np.frombuffer(shard_pdf["stash"].iloc[0], dtype=np.uint16)
+        return _lookup_many(table, _bucket1(h1, m_buckets), _fingerprints(h2), stash)
+
+    return probe
+
+
 def anti_join_with_cuckoo(
     candidates: DataFrame,
     seen: DataFrame,
     col: str = "url",
     n_shards: int = 8,
     expected_items: int | None = None,
+    mode: str = "auto",
+    broadcast_cap_bytes: int = DEFAULT_BROADCAST_CAP,
 ) -> DataFrame:
     """J1 with the cuckoo pre-pass: semantically identical to
     ``candidates.join(seen, col, 'left_anti')`` (property-tested) —
-    same routing contract as bloom.anti_join_with_bloom."""
+    same routing contract and size-gated probe modes as
+    bloom.anti_join_with_bloom: ``'auto'`` broadcasts the collected
+    filter only while every shard summed fits ``broadcast_cap_bytes``,
+    else (or with ``mode='shard_join'``) the shards stay a DataFrame
+    and candidates probe them via the cogrouped shard-key join — the
+    topology a 10^10-URL filter requires."""
     spark = candidates.sparkSession
-    cf = build_cuckoo(seen, col, expected_items=expected_items, n_shards=n_shards)
-    bc = spark.sparkContext.broadcast(cf)
-    tagged = with_maybe_seen(candidates, col, bc)
-    surely_new = tagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
-    maybe = tagged.filter(F.col("maybe_seen")).drop("maybe_seen")
-    return surely_new.unionByName(maybe.join(seen.select(col), col, "left_anti"))
+    shards, m = build_cuckoo_shards(
+        seen, col, expected_items=expected_items, n_shards=n_shards
+    )
+    total_bytes = n_shards * m * SLOTS * 2
+    if mode == "broadcast" or (mode == "auto" and total_bytes <= broadcast_cap_bytes):
+        rows = shards.collect()
+        cf = CuckooFilter(
+            n_shards=n_shards,
+            m_buckets=m,
+            tables={r["shard"]: r["table"] for r in rows},
+            stashes={r["shard"]: r["stash"] for r in rows},
+        )
+        bc = spark.sparkContext.broadcast(cf)
+        tagged = with_maybe_seen(candidates, col, bc)
+    else:
+        c1, c2 = hash_cols(col)
+        tagged = tag_maybe_seen_sharded(
+            candidates,
+            c1,
+            c2,
+            F.pmod(c1, F.lit(n_shards)).cast("int"),
+            shards,
+            "shard",
+            _probe_shard_pdf(m),
+        )
+    return route_with_exact_join(tagged, seen, col)
 
 
 def delete_keys(cf: CuckooFilter, df: DataFrame, col: str) -> CuckooFilter:
