@@ -618,17 +618,20 @@ def _q_politeness_schedule(spark, sf):
 
 def _q_budget_landing(spark, sf):
     """A1/W5 — exact page-budget truncation: keep the first 100
-    'fetches' in global (ts, id) order via a strictly-preceding
-    cumulative count (the engine's final-round law, engine.py)."""
+    'fetches' in global (ts, id) order via the engine's DISTRIBUTED
+    strictly-preceding cumulative count (operators/prefix.py — the
+    same range-partition + partition-local cumsum + O(P) driver
+    offsets plan the engine's final-round law uses; no un-partitioned
+    single-task window anywhere in the physical plan)."""
+    from webcrawler_spark.operators.prefix import attach_prefix_count
+
     ev = spark.read.parquet(f"{sf}/events.parquet")
     fetched = F.col("event_type") == "purchase"
-    w_glob = Window.orderBy("ts", "event_id").rowsBetween(
-        Window.unboundedPreceding, -1
+    tagged = attach_prefix_count(
+        ev.withColumn("_f", fetched.cast("long")), ["ts", "event_id"], "_f", "_cum"
     )
-    cum = F.coalesce(F.sum(fetched.cast("long")).over(w_glob), F.lit(0))
     return (
-        ev.withColumn("_cum", cum)
-        .filter(fetched & (F.col("_cum") < 100))
+        tagged.filter(fetched & (F.col("_cum") < 100))
         .select("event_id", "user_id", (F.col("_cum") + 1).alias("fetch_no"))
     )
 

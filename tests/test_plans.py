@@ -1,0 +1,113 @@
+"""Plan-audit regression tests (round-2 verdict #4).
+
+Correctness oracles catch wrong ANSWERS; these tests catch wrong
+PLANS — the regressions that stay green at sf0.01 but die at 100 TB:
+
+* ``CartesianProduct`` — an all-pairs join sneaking back into a
+  bucketed dedup/ANN pipeline;
+* ``Exchange SinglePartition`` — an un-partitioned sort/window pulling
+  a full scan through one task (the A1 budget-landing bug class);
+* ``SortMergeJoin`` on the engine's corpus side — the wave join must
+  stay broadcast (small wave) or shuffle-hash (big wave), never a
+  corpus sort.
+
+The asserted-clean plans are today's plans; if a refactor reintroduces
+one of these shapes the suite fails loudly with the operator name.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+# queries whose executed plan must contain none of the scale-killer
+# shapes; all read real testdata parquet so pushdown/pruning are live
+AUDITED = [
+    "cosine_topk",
+    "near_dup_pipeline",
+    "embedding_near_dup",
+    "minhash_lsh_pairs",
+    "simhash_near_pairs",
+    "budget_landing",
+    "politeness_schedule",
+]
+
+FORBIDDEN = ["CartesianProduct", "SinglePartition", "SortMergeJoin"]
+
+
+@pytest.fixture(scope="module")
+def entry():
+    import __spark_entry__ as e
+
+    return e
+
+
+@pytest.fixture()
+def full_plans(spark):
+    """Plans must not be truncated or the forbidden-substring check can
+    false-pass; restore the session's bounded plan strings afterwards."""
+    key = "spark.sql.maxPlanStringLength"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(1 << 22))
+    yield
+    spark.conf.set(key, old)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", AUDITED)
+def test_query_plan_has_no_scale_killers(spark, entry, full_plans, name):
+    plan = _plan(entry.queries()[name](spark, SF))
+    for bad in FORBIDDEN:
+        assert bad not in plan, f"{name}: {bad} in executed plan\n{plan}"
+
+
+def test_wave_join_broadcasts_small_waves(spark, full_plans):
+    """O13 size gate: a wave under the row cap broadcasts (corpus never
+    shuffles); over the cap it shuffle-hashes — in neither case may the
+    corpus side sort-merge."""
+    from webcrawler_spark.engine import CrawlConfig, CrawlEngine
+
+    pages = spark.range(2000).selectExpr(
+        "concat('https://h', id % 50, '.x/p', id) as url",
+        "cast(null as binary) as html",
+        "200 as status",
+        "'text/html' as content_type",
+    )
+    eng = CrawlEngine(spark, pages, config=CrawlConfig(wave_broadcast_max_rows=100))
+    wave = pages.select("url").limit(10)
+
+    small = _plan(eng._wave_join(eng.pages_meta, wave, "url", "inner", 10))
+    assert "BroadcastHashJoin" in small and "SortMergeJoin" not in small
+
+    big = _plan(eng._wave_join(eng.pages_meta, wave, "url", "inner", 1000))
+    assert "ShuffledHashJoin" in big and "SortMergeJoin" not in big
+    assert "BroadcastHashJoin" not in big
+
+
+def test_prefix_count_plan_is_distributed(spark, full_plans):
+    """attach_prefix_count must never plan an un-partitioned window:
+    the cumulative count runs as partition-local windows plus a
+    broadcast of O(P) offsets."""
+    from pyspark.sql import functions as F
+
+    from webcrawler_spark.operators.prefix import attach_prefix_count
+    from webcrawler_spark.sparkutil import free
+
+    df = spark.range(5000).selectExpr(
+        "id as ts", "id as event_id", "cast(id % 3 = 0 as int) as flag"
+    )
+    tagged = attach_prefix_count(df, ["ts", "event_id"], "flag", "_cum")
+    plan = _plan(tagged)
+    assert "SinglePartition" not in plan
+    assert "BroadcastExchange" in plan  # offsets ship broadcast, not shuffled
+    # and the law itself holds: _cum == strictly-preceding flag count
+    rows = tagged.orderBy("ts").collect()
+    acc = 0
+    for r in rows:
+        assert r["_cum"] == acc
+        acc += r["flag"]
+    free(tagged._prefix_ckpt)

@@ -68,6 +68,7 @@ from webcrawler_spark.functions.urltools import (
     resource_col,
 )
 from webcrawler_spark.operators.bloom import anti_join_with_bloom
+from webcrawler_spark.operators.prefix import attach_prefix_count
 from webcrawler_spark.simulator import VIRTUAL_CLOCK_START
 from webcrawler_spark.sparkutil import checkpoint, free
 from webcrawler_spark.tables import MemoryCatalog, ParquetCatalog
@@ -615,45 +616,17 @@ class CrawlEngine:
 
         # ---- A1 budget truncation (final-round exact landing) ----------
         # Exact global cumulative fetch count WITHOUT a single-task
-        # window: an un-partitioned Window.orderBy would pull the whole
-        # final-round wave (10^7 rows at production size) through one
-        # core. Instead: range-partition on the global order keys,
-        # cumsum partition-locally, and add per-partition prefix
-        # offsets computed on the driver (one row per partition).
+        # window (operators/prefix.py: range-partition on the order
+        # keys, partition-local cumsum, O(P) driver prefix offsets).
         truncated = False
         if cfg.limit is not None and st.total_fetched + n_fetched_round > cfg.limit:
             remaining = cfg.limit - st.total_fetched
             order_cols = ["attempt_ts", "priority", "host", "rn_host"]
-            ranged = checkpoint(
-                sel.repartitionByRange(*[F.col(c) for c in order_cols])
-                .sortWithinPartitions(*order_cols)
-                .withColumn("_pid", F.spark_partition_id())
-            )
-            per_part = (
-                ranged.groupBy("_pid")
-                .agg(F.sum(F.col("fetched").cast("long")).alias("_pf"))
-                .collect()
-            )
-            acc, offs = 0, []
-            for r in sorted(per_part, key=lambda r: r["_pid"]):
-                offs.append((r["_pid"], acc))
-                acc += int(r["_pf"] or 0)
-            off_df = sel.sparkSession.createDataFrame(offs, "_pid int, _off long")
-            w_loc = (
-                Window.partitionBy("_pid")
-                .orderBy(*order_cols)
-                .rowsBetween(Window.unboundedPreceding, -1)
-            )
-            cumf = F.col("_off") + F.coalesce(
-                F.sum(F.col("fetched").cast("long")).over(w_loc), F.lit(0)
-            )
+            tagged = attach_prefix_count(sel, order_cols, "fetched", "_cumf")
             sel = checkpoint(
-                ranged.join(F.broadcast(off_df), "_pid")
-                .withColumn("_cumf", cumf)
-                .filter(F.col("_cumf") < F.lit(remaining))
-                .drop("_pid", "_off", "_cumf")
+                tagged.filter(F.col("_cumf") < F.lit(remaining)).drop("_cumf")
             )
-            free(ranged)
+            free(tagged._prefix_ckpt)
             scal = _scalars(sel)
             n_fetched_round = scal["n_fet"] or 0
             truncated = True
