@@ -649,15 +649,21 @@ def _q_bloom_antijoin(spark, sf):
     )
 
 
-def _q_lsh_ann_rowsonly(spark, sf):
-    """ANN scale path: sign-LSH bucketed top-k (recall-traded variant)."""
+def _q_lsh_ann(spark, sf):
+    """Sign-LSH ANN, full probe (n_probes == 2^n_planes): exercises the
+    real hyperplane-hash → multi-probe → bucket-scan machinery while the
+    probe set covers every bucket, so the result degenerates to the
+    exact scan and the cosine_topk oracle value-checks it (same trick as
+    `ivf_ann`). The recall-vs-probes curve of the pruned variant is
+    pinned in tests/test_operators.py."""
     from webcrawler_spark.operators.similarity import lsh_bucket_topk
 
     emb = spark.read.parquet(f"{sf}/embeddings.parquet").withColumn(
         "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
     )
     qvec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
-    return lsh_bucket_topk(emb, qvec, k=10, n_planes=4, n_probes=4)
+    top = lsh_bucket_topk(emb, qvec, k=10, n_planes=4, n_probes=16)
+    return top.withColumn("rank", F.col("rank").cast("long"))
 
 
 def _q_multimodal_rowsonly(spark, sf):
@@ -705,11 +711,16 @@ def _q_warc_rowsonly(spark, sf):
     )
 
 
-def _q_stateful_schedule_rowsonly(spark, sf):
+def _q_stateful_schedule(spark, sf):
     """§2.8 — applyInPandasWithState politeness scheduler over a
-    bounded candidate stream (AvailableNow drain). No SQL analog: the
-    per-host next_free recurrence needs a state store; parity with a
-    driver-side simulation is pinned in tests/test_streaming.py."""
+    bounded candidate stream (AvailableNow drain), value-checked: the
+    per-host ``attempt_i = max(arrival_i, prev_attempt + delay_{i-1})``
+    recurrence is reproduced by a DuckDB recursive CTE, so the state
+    store's output is hash-compared row-for-row (cross-micro-batch
+    state continuity is additionally pinned in tests/test_streaming.py;
+    the candidate file is written as one file so the drain is a single
+    deterministic batch — the recurrence itself is batch-boundary
+    invariant only when batches arrive in arrival order)."""
     import tempfile
 
     root = tempfile.mkdtemp(prefix="wcspark-state-")
@@ -727,7 +738,7 @@ def _q_stateful_schedule_rowsonly(spark, sf):
             (F.lit(1) + F.col("user_id") % 3).cast("double").alias("delay"),
         )
     )
-    cand.write.parquet(f"{root}/cand")
+    cand.coalesce(1).write.parquet(f"{root}/cand")
     q = (
         politeness_schedule_stream(
             spark.readStream.schema(ddl).parquet(f"{root}/cand")
@@ -740,13 +751,11 @@ def _q_stateful_schedule_rowsonly(spark, sf):
         .start()
     )
     q.awaitTermination()
-    return (
-        spark.read.parquet(f"{root}/out")
-        .groupBy("host")
-        .agg(
-            F.count("*").alias("n_scheduled"),
-            F.round(F.max("attempt_ts"), 6).alias("last_attempt_ts"),
-        )
+    return spark.read.parquet(f"{root}/out").select(
+        "host",
+        "url",
+        "arrival_ts",
+        F.round("attempt_ts", 6).alias("attempt_ts"),
     )
 
 
@@ -818,10 +827,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cuckoo_antijoin": _q_cuckoo_antijoin,
         "ivf_ann": _q_ivf_ann,
         "ivf_ann_probe_rowsonly": _q_ivf_ann_probe_rowsonly,
-        "lsh_ann_rowsonly": _q_lsh_ann_rowsonly,
+        "lsh_ann": _q_lsh_ann,
         "multimodal_rowsonly": _q_multimodal_rowsonly,
         "warc_rowsonly": _q_warc_rowsonly,
-        "stateful_schedule_rowsonly": _q_stateful_schedule_rowsonly,
+        "stateful_schedule": _q_stateful_schedule,
         "crawl_rowsonly": _q_crawl_rowsonly,
     }
 
@@ -1371,6 +1380,44 @@ def oracle_sql() -> dict[str, str]:
                    row_number() over (order by sim desc, neighbor_id) as rank
             from scored
             qualify rank <= 10
+        """,
+        "lsh_ann": """
+            with q as (select embedding::DOUBLE[] as qv from embeddings
+                       where vec_id = 0),
+            scored as (
+              select vec_id as neighbor_id,
+                     round(list_cosine_similarity(embedding::DOUBLE[], qv), 6)
+                       as sim
+              from embeddings cross join q)
+            select neighbor_id, sim,
+                   row_number() over (order by sim desc, neighbor_id) as rank
+            from scored
+            qualify rank <= 10
+        """,
+        "stateful_schedule": """
+            with recursive cand as (
+              select 'h' || (user_id % 20)::VARCHAR as host,
+                     'u' || event_id::VARCHAR as url,
+                     (event_id % 100)::DOUBLE as arrival_ts,
+                     (1 + user_id % 3)::DOUBLE as delay
+              from events),
+            ord as (
+              select host, url, arrival_ts, delay,
+                     row_number() over
+                       (partition by host order by arrival_ts, url) as rn
+              from cand),
+            sched as (
+              select host, url, arrival_ts, delay, rn,
+                     arrival_ts as attempt_ts,
+                     arrival_ts + delay as next_free
+              from ord where rn = 1
+              union all
+              select o.host, o.url, o.arrival_ts, o.delay, o.rn,
+                     greatest(o.arrival_ts, s.next_free) as attempt_ts,
+                     greatest(o.arrival_ts, s.next_free) + o.delay as next_free
+              from ord o join sched s on o.host = s.host and o.rn = s.rn + 1)
+            select host, url, arrival_ts, round(attempt_ts, 6) as attempt_ts
+            from sched
         """,
         "robots_gate": """
             with u as (

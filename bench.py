@@ -127,6 +127,15 @@ def main() -> int:
         qs[name](spark, SF_DIR).count()
         timings[name] = round(time.time() - t0, 3)
 
+    # production 64-bit simhash tier (pytest-verified vs the 32-bit
+    # oracle tier; not a queries() entry because DuckDB lacks xxhash64)
+    from webcrawler_spark.operators.dedup import simhash64_near_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    t0 = time.time()
+    simhash64_near_pairs(docs, max_hamming=3).count()
+    timings["simhash64_near_pairs"] = round(time.time() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -56,7 +56,15 @@ def child(cpus: int) -> None:
     # can run CONCURRENTLY on disjoint cores (see parent()).
     off = int(os.environ.get("SPARK_GRAFT_BENCH_CORE_OFFSET", "0"))
     if hasattr(os, "sched_setaffinity"):
-        os.sched_setaffinity(0, set(range(off, off + cpus)))
+        want = set(range(off, off + cpus))
+        have = os.sched_getaffinity(0)
+        if not want <= have:
+            # box smaller than the requested window: fall back to any
+            # `cpus` allowed cores so the child still measures rather
+            # than dying with EINVAL (the pin is then best-effort)
+            want = set(sorted(have)[:cpus])
+            print(f"WARN: core window {off}+{cpus} unavailable, pinning {sorted(want)}", file=sys.stderr)
+        os.sched_setaffinity(0, want)
 
     from pyspark.sql import SparkSession
 
@@ -132,31 +140,51 @@ def _run_child(cpus: int, offset: int) -> dict:
         env=env,
         timeout=3000,
     )
-    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-    print(line, file=sys.stderr)
-    return json.loads(line)
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if out.returncode != 0 or not lines:
+        raise RuntimeError(
+            f"child cpus={cpus} offset={offset} rc={out.returncode},"
+            f" no JSON result; stderr tail:\n{out.stderr[-2000:]}"
+        )
+    print(lines[-1], file=sys.stderr)
+    return json.loads(lines[-1])
+
+
+def _cpu_times() -> tuple[float, float, float]:
+    """(busy, steal, total) jiffies from /proc/stat's aggregate cpu
+    line — the box-weather telemetry recorded per pair. steal > 0
+    means the hypervisor withheld cycles during the window."""
+    with open("/proc/stat") as fh:
+        parts = fh.readline().split()
+    vals = [float(v) for v in parts[1 : 1 + 8]]  # user..steal
+    user, nice, system, idle, iowait, irq, softirq, steal = (vals + [0.0] * 8)[:8]
+    busy = user + nice + system + irq + softirq
+    return busy, steal, busy + steal + idle + iowait
 
 
 def parent() -> None:
-    # CONCURRENT arms on disjoint pinned core sets. This sandbox's CPU
-    # delivery is bursty on a tens-of-seconds timescale (calibrated
-    # with scripts/calibrate_box.py: the same pinned core measured 205
-    # vs 385 html-parses/s minutes apart, while all 32 cores are
+    # Protocol: K synchronized pairs of CONCURRENT arms on disjoint
+    # pinned core sets. This sandbox's CPU delivery is bursty on a
+    # tens-of-seconds timescale (calibrated with
+    # scripts/calibrate_box.py: the same pinned core measured 205 vs
+    # 385 html-parses/s minutes apart, while all 32 cores are
     # homogeneous within ±4% when probed back-to-back), so ANY
     # sequential A-then-B comparison confounds box weather with engine
     # scaling — observed spread between identical sequential arms was
-    # 22-27%. Instead the N arm (cores 0-1) and a loop of 4N arms
-    # (cores 8-15) run AT THE SAME TIME: every burst or stall hits
-    # both arms together. The 4N arm is ~2.8x shorter, so it repeats
-    # until the N arm finishes and the best 4N sample is compared to
-    # the N rate (contention between arms is nil: disjoint cores, and
-    # combined peak well under the box's 32).
-    # Protocol: K synchronized pairs. Each pair launches the N child
-    # (cores 0-1) and the 4N child (cores 8-15) at the same instant;
-    # the shorter 4N run is contained in the N run's wall window, so
-    # every 4N second shares the box weather with the N arm. Pair
-    # efficiency = (rate_4N / rate_N) / 4; the headline is the median
-    # over pairs (best/worst also reported).
+    # 22-27%. Each pair therefore launches ONE N child and ONE 4N
+    # child at the same instant on disjoint pinned cores (contention
+    # between arms is nil: disjoint cores, combined peak well under
+    # the box's 32); the shorter 4N run is contained in the N run's
+    # wall window, so every 4N second shares the box weather with the
+    # N arm. Pair efficiency = (rate_4N / rate_N) / 4; the headline is
+    # the median over pairs (best/worst also reported).
+    #
+    # A-B-B-A: the core WINDOWS swap between consecutive pairs (even
+    # pairs: N on cores 0-1, 4N on 8-15; odd pairs: 4N on 0-7, N on
+    # 8-9), so a persistent fast/slow core window biases both arms
+    # symmetrically across the series instead of one arm always.
+    # Per-pair /proc/stat busy/steal fractions are recorded as weather
+    # telemetry next to each efficiency sample.
     import statistics
     import threading
 
@@ -164,38 +192,64 @@ def parent() -> None:
     pairs: list[dict] = []
     for i in range(k_pairs):
         res: dict[int, dict] = {}
+        err: list[BaseException] = []
 
         def run(cpus: int, off: int) -> None:
-            res[cpus] = _run_child(cpus, off)
+            try:
+                res[cpus] = _run_child(cpus, off)
+            except BaseException as e:  # surfaced after join
+                err.append(e)
 
-        threads = [
-            threading.Thread(target=run, args=(2, 0)),
-            threading.Thread(target=run, args=(8, 8)),
-        ]
+        if i % 2 == 0:
+            arms = [(2, 0), (8, 8)]  # N @ cores 0-1, 4N @ cores 8-15
+        else:
+            arms = [(2, 8), (8, 0)]  # N @ cores 8-9, 4N @ cores 0-7
+        cpu0 = _cpu_times()
+        t0 = time.time()
+        threads = [threading.Thread(target=run, args=a) for a in arms]
         for t in threads:
             t.start()
         for t in threads:
             t.join()
+        if err:
+            raise err[0]
+        wall = time.time() - t0
+        cpu1 = _cpu_times()
+        d_total = max(cpu1[2] - cpu0[2], 1e-9)
+        weather = {
+            "busy_frac": round((cpu1[0] - cpu0[0]) / d_total, 3),
+            "steal_frac": round((cpu1[1] - cpu0[1]) / d_total, 4),
+            "wall_s": round(wall, 1),
+        }
         r_n, r_4n = res[2]["pages_per_sec"], res[8]["pages_per_sec"]
         pairs.append(
             {
                 "pair": i,
+                "core_windows": {"n": arms[0][1], "4n": arms[1][1]},
                 "rate_n": r_n,
                 "rate_4n": r_4n,
                 "efficiency": round((r_4n / r_n) / 4, 3) if r_n else 0.0,
+                "box_weather": weather,
                 "detail": res,
             }
         )
     effs = [p["efficiency"] for p in pairs]
     med = statistics.median(effs)
+    # the pair whose efficiency is the (lower-)median, so the headline
+    # rates and the headline efficiency come from one actual run and
+    # (rate_4n/rate_n)/4 recomputed from them is self-consistent
+    med_pair = sorted(pairs, key=lambda p: p["efficiency"])[(len(pairs) - 1) // 2]
     best = max(pairs, key=lambda p: p["efficiency"])
     print(
         json.dumps(
             {
                 "n_cores": 2,
-                "rate_n": best["rate_n"],
-                "rate_4n": best["rate_4n"],
+                "rate_n": med_pair["rate_n"],
+                "rate_4n": med_pair["rate_4n"],
                 "scaling_efficiency": round(med, 3),
+                "scaling_efficiency_median_pair": med_pair["efficiency"],
+                "rate_n_best_pair": best["rate_n"],
+                "rate_4n_best_pair": best["rate_4n"],
                 "scaling_efficiency_best_pair": best["efficiency"],
                 "pairs": pairs,
                 "config": {

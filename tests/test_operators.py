@@ -79,6 +79,56 @@ def test_simhash_hamming(docs):
     assert all(0 <= v < (1 << 32) for v in fp.values())
 
 
+def test_simhash64_hamming_and_tier_parity(docs):
+    """Production 64-bit tier: same dup/non-dup verdicts as the 32-bit
+    oracle tier on the fixture, at the width-proportional threshold
+    (6/32 bits ≈ 16/64 bits; fixture distances: near-dups ≤ 13,
+    non-dups ≥ 24)."""
+    fp = {r["doc_id"]: r["simhash"] for r in dedup.simhash64(docs).collect()}
+    assert len(fp) == 6
+    # full signed-long bit pattern is in use (bit 63 assembled via OR)
+    assert all(-(1 << 63) <= v < (1 << 63) for v in fp.values())
+    assert fp[0] == fp[3]           # identical text → identical sketch
+    # deterministic across invocations (xxhash64 fixed seed)
+    fp2 = {r["doc_id"]: r["simhash"] for r in dedup.simhash64(docs).collect()}
+    assert fp == fp2
+
+    pairs64 = {(r["a"], r["b"]): r["hamming"] for r in
+               dedup.simhash64_near_pairs(
+                   docs, max_hamming=16, n_bands=32).collect()}
+    assert pairs64[(0, 3)] == 0
+    assert (0, 1) in pairs64        # near-dup survives the 64-bit tier
+    assert (0, 2) not in pairs64    # different language stays apart
+    pairs32 = {(r["a"], r["b"]) for r in
+               dedup.simhash_near_pairs(docs, max_hamming=6).collect()}
+    # tier parity: both tiers separate the near-dup family {0,1,3,5}
+    # from everything else — every 32-bit pair survives at 64 bits, and
+    # neither tier emits a cross-family pair (exact set equality across
+    # independent hash widths is not a law: (1,5) sits at 14/64 bits
+    # but just over 6/32 bits)
+    family = {0, 1, 3, 5}
+    assert pairs32 <= set(pairs64)
+    assert all(a in family and b in family for a, b in pairs64)
+
+
+def test_simhash64_band_guarantee(docs):
+    """Pigeonhole: every pair within max_hamming of the DEFAULT 4-band
+    config is found (brute-force cross-check on the fixture), and the
+    guarantee precondition is enforced."""
+    fp = {r["doc_id"]: r["simhash"] for r in dedup.simhash64(docs).collect()}
+    want = set()
+    ids = sorted(fp)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if bin((fp[a] ^ fp[b]) & ((1 << 64) - 1)).count("1") <= 3:
+                want.add((a, b))
+    got = {(r["a"], r["b"]) for r in
+           dedup.simhash64_near_pairs(docs, max_hamming=3).collect()}
+    assert got == want
+    with pytest.raises(ValueError):
+        dedup.simhash64_near_pairs(docs, max_hamming=4, n_bands=4)
+
+
 @pytest.fixture(scope="module")
 def embeddings(spark):
     import numpy as np

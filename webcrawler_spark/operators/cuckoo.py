@@ -390,6 +390,14 @@ def delete_keys(cf: CuckooFilter, df: DataFrame, col: str) -> CuckooFilter:
     operation, not the crawl hot path — and applied shard by shard.
     Returns a new CuckooFilter (input is not mutated)."""
     c1, c2 = hash_cols(col)
+    n = df.count()
+    if n > 50_000_000:  # ~800 MB of hashes; beyond admin scale
+        raise ValueError(
+            f"delete_keys: {n} keys exceeds the driver-collect guard"
+            f" (50M). Deletion is an admin-scale revisit operation;"
+            f" for bulk retirement rebuild the filter from the"
+            f" surviving seen set instead."
+        )
     pdf = df.select(c1.alias("h1"), c2.alias("h2")).toPandas()
     h1, h2 = _as_u64(pdf["h1"]), _as_u64(pdf["h2"])
     shard = (h1 % np.uint64(cf.n_shards)).astype(np.int64)

@@ -157,14 +157,26 @@ def connected_components(
         schema_node = edges.schema[src].dataType
         return spark.createDataFrame([], f"node {schema_node.simpleString()}, component {schema_node.simpleString()}")
 
+    converged = False
     for it in range(max_iter):
         work = _small_star(_large_star(work))
         if (it + 1) % checkpoint_every == 0:
             work = _materialize(work, it)
         cur = _edge_checksum(work)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"connected_components: checksum did not converge within"
+            f" max_iter={max_iter} star rounds; components may be"
+            f" incomplete (raise max_iter)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
 
     # converged edge set is a star forest: (u=node, v=root) with root < node
     stars = _canon(work)
@@ -263,6 +275,8 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         e.unpersist()
+        nodes.unpersist()
+        deg.unpersist()
         return nodes.withColumn("rank", F.lit(0.0))
     e_deg = e.join(deg, "src").persist()
 

@@ -260,6 +260,11 @@ class ParquetCatalog:
         with open(tmp, "w") as f:
             json.dump(m, f, indent=1)
         os.replace(tmp, self._manifest_path)
+        # a catalog opened as-of an older round stops time-traveling at
+        # its first fork commit: the row just appended is now this
+        # instance's head, so load_state()/_round_row must track it
+        # (not keep filtering by the original as_of forever)
+        self._as_of = None
 
     # -- data ------------------------------------------------------------
     def _new_dir(self, name: str) -> str:
