@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -357,6 +358,30 @@ def _q_segment_dedup(spark, sf):
     )
 
 
+def _q_repetition_stats(spark, sf):
+    """Gopher §A1.1 repetition signals per doc: top-word frequency
+    fraction + duplicate word-trigram fraction. Pure projection (zero
+    shuffles) — the top-word count is the O(n log n) sorted-run trick,
+    not a per-word rescan."""
+    from webcrawler_spark.operators.cleaning import repetition_stats
+
+    return repetition_stats(_docs(spark, sf), ngram_n=3)
+
+
+def _q_ngram_contamination(spark, sf):
+    """Train-test decontamination (GPT-3 appendix-C shape): count each
+    candidate doc's distinct 5-grams that collide with the benchmark
+    corpus (docs with doc_id % 50 == 0 stand in for the eval suite).
+    Benchmark gram set broadcasts; corpus side is explode → semi-join
+    → one hash aggregate."""
+    from webcrawler_spark.operators.cleaning import ngram_contamination
+
+    d = _docs(spark, sf)
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    cand = d.filter(F.col("doc_id") % 50 != 0)
+    return ngram_contamination(cand, bench, n=5)
+
+
 def _q_duplicate_clusters(spark, sf):
     """Near-dup pairs chained into clusters: LSH→Jaccard pairs fed to
     large-star/small-star connected components; every doc gets a
@@ -666,9 +691,48 @@ def _q_lsh_ann(spark, sf):
     return top.withColumn("rank", F.col("rank").cast("long"))
 
 
+def _q_multimodal_codec(spark, sf):
+    """REAL multimodal decode, value-checked: documents become
+    deterministic media payloads (even doc_id → binary P6 PPM packing
+    the text bytes as pixels, odd doc_id → 8-bit mono WAV packing them
+    as samples), a mapInPandas stage decodes them with the real codecs
+    (operators/multimodal.py: pure netpbm parser, stdlib wave) and
+    emits typed features; the oracle recomputes the dimensions, frame
+    counts, and payload md5 from the same ASCII text slices in SQL
+    (text is pure ASCII in this corpus, so char slices == byte
+    slices)."""
+    from pyspark.sql.types import BinaryType
+
+    from webcrawler_spark.operators.multimodal import (
+        encode_ppm,
+        encode_wav,
+        media_codec_features,
+    )
+
+    @F.pandas_udf(BinaryType())
+    def make_payload(doc_id: pd.Series, text: pd.Series) -> pd.Series:
+        out = []
+        for i, t in zip(doc_id, text):
+            b = t.encode("utf-8")
+            out.append(encode_ppm(b) if i % 2 == 0 else encode_wav(b))
+        return pd.Series(out)
+
+    d = _docs(spark, sf)
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        make_payload(F.col("doc_id"), F.col("text")).alias("content"),
+    ).filter(F.col("content").isNotNull())
+    # 0-fill the not-applicable dims (image has no frames, audio no
+    # w/h) so the oracle compare stays integer-typed end-to-end
+    return media_codec_features(media).na.fill(
+        {"width": 0, "height": 0, "n_frames": 0, "framerate": 0}
+    )
+
+
 def _q_multimodal_rowsonly(spark, sf):
     """Multimodal plumbing: binary columns → mapInPandas feature stage
-    (deterministic fake decode; real codec is an env plug point)."""
+    (deterministic fake decode; compressed codecs are the env plug
+    point — uncompressed ones are real, see multimodal_codec)."""
     from webcrawler_spark.operators.multimodal import image_features
 
     d = _docs(spark, sf)
@@ -688,26 +752,39 @@ def _q_multimodal_rowsonly(spark, sf):
     )
 
 
-def _q_warc_rowsonly(spark, sf):
-    """S5 interchange: WARC/1.1 gzip sink → distributed source
-    round-trip over the documents-derived pages (no SQL analog — the
-    payload-digest equality is pinned in tests/test_warc.py)."""
+def _q_warc_roundtrip(spark, sf):
+    """S5 interchange, value-checked end-to-end: every document's text
+    bytes become the payload of a WARC/1.1 response record (urls per
+    the shared _URL_SQL scheme), the distributed gzip sink writes them
+    with per-partition rotation, the distributed source reads them
+    back, and the oracle recomputes (url, byte length, md5) straight
+    from the documents table — so record framing, gzip membering, and
+    payload integrity are all hash-compared against DuckDB."""
     import tempfile
 
-    from webcrawler_spark.sources.synthetic_web import pages_from_documents
-    from webcrawler_spark.sources.warc import (
-        read_warc,
-        save_pages_warc,
-        warc_input_for_crawl,
-    )
+    from webcrawler_spark.sources.warc import read_warc, save_pages_warc
 
-    out = tempfile.mkdtemp(prefix="wcspark-warc-")
-    pages = warc_input_for_crawl(pages_from_documents(spark, sf))
-    save_pages_warc(pages, out, records_per_file=1000)
-    return (
-        read_warc(spark, out + "/*.warc.gz")
-        .groupBy("status", "content_type")
-        .agg(F.count("*").alias("n_records"))
+    out = tempfile.mkdtemp(prefix="wcspark-warcrt-")
+    d = _docs(spark, sf)
+    payloads = d.select(
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example/doc/"),
+            F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 7 == 0, ".pdf").otherwise(""),
+        ).alias("url"),
+        F.lit(200).alias("status"),
+        F.lit("text/html; charset=utf-8").alias("content_type"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    save_pages_warc(payloads, out, records_per_file=100)
+    return read_warc(spark, out + "/*.warc.gz").select(
+        "url",
+        F.col("status").cast("int").alias("status"),
+        "content_type",
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
     )
 
 
@@ -808,6 +885,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_pagerank": _q_host_pagerank,
         "gopher_quality": _q_gopher_quality,
         "segment_dedup": _q_segment_dedup,
+        "repetition_stats": _q_repetition_stats,
+        "ngram_contamination": _q_ngram_contamination,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "simhash": _q_simhash,
         "simhash_near_pairs": _q_simhash_near_pairs,
@@ -828,8 +907,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann": _q_ivf_ann,
         "ivf_ann_probe_rowsonly": _q_ivf_ann_probe_rowsonly,
         "lsh_ann": _q_lsh_ann,
+        "multimodal_codec": _q_multimodal_codec,
         "multimodal_rowsonly": _q_multimodal_rowsonly,
-        "warc_rowsonly": _q_warc_rowsonly,
+        "warc_roundtrip": _q_warc_roundtrip,
         "stateful_schedule": _q_stateful_schedule,
         "crawl_rowsonly": _q_crawl_rowsonly,
     }
@@ -1215,6 +1295,57 @@ def oracle_sql() -> dict[str, str]:
                    b.nseg as n_total
             from base b left join agg a on a.doc_id = b.doc_id
         """,
+        "repetition_stats": """
+            with t as (select doc_id, string_split(text, ' ') as w
+                       from documents),
+            wc as (select doc_id, word, count(*) as c
+                   from (select doc_id, unnest(w) as word from t)
+                   group by doc_id, word),
+            top as (select doc_id, max(c) as top_cnt, sum(c) as n_words
+                    from wc group by doc_id),
+            g as (select doc_id,
+                         case when len(w) >= 3 then
+                           list_transform(generate_series(1, len(w) - 2),
+                             i -> array_to_string(list_slice(w, i, i + 2), ' '))
+                         else []::VARCHAR[] end as grams
+                  from t)
+            select top.doc_id,
+                   top.n_words::BIGINT as n_words,
+                   top.top_cnt::BIGINT as top_word_cnt,
+                   top.top_cnt::DOUBLE / top.n_words as top_word_frac,
+                   case when len(g.grams) < 1 then 0.0
+                        else (len(g.grams) - len(list_distinct(g.grams)))::DOUBLE
+                             / len(g.grams) end as dup_3gram_frac
+            from top join g on g.doc_id = top.doc_id
+        """,
+        "ngram_contamination": """
+            with w as (select doc_id, string_split(lower(text), ' ') as w
+                       from documents),
+            g as (select doc_id, unnest(list_distinct(
+                    case when len(w) < 5 then []::VARCHAR[]
+                         else list_transform(generate_series(1, len(w) - 4),
+                           i -> array_to_string(list_slice(w, i, i + 4), ' '))
+                    end)) as gram
+                  from w),
+            bench as (select distinct gram from g where doc_id % 50 = 0),
+            hits as (select g.doc_id, count(*) as n_contaminated
+                     from g join bench using (gram)
+                     where g.doc_id % 50 <> 0
+                     group by g.doc_id)
+            select d.doc_id,
+                   coalesce(h.n_contaminated, 0)::BIGINT as n_contaminated,
+                   coalesce(h.n_contaminated, 0) > 0 as contaminated
+            from documents d left join hits h on h.doc_id = d.doc_id
+            where d.doc_id % 50 <> 0
+        """,
+        "warc_roundtrip": f"""
+            select {_URL_SQL} as url,
+                   200::INT as status,
+                   'text/html; charset=utf-8' as content_type,
+                   octet_length(encode(text))::BIGINT as n_bytes,
+                   md5(text) as payload_md5
+            from documents
+        """,
         "simhash": """
             with words as (
               select doc_id, unnest(list_distinct(string_split(text, ' '))) as w
@@ -1393,6 +1524,26 @@ def oracle_sql() -> dict[str, str]:
                    row_number() over (order by sim desc, neighbor_id) as rank
             from scored
             qualify rank <= 10
+        """,
+        "multimodal_codec": """
+            with t as (
+              select doc_id, text, octet_length(encode(text)) as n
+              from documents)
+            select doc_id as media_id,
+                   case when doc_id % 2 = 0 then 'image' else 'audio' end
+                     as kind,
+                   (case when doc_id % 2 = 0 then 4 else 0 end)::INT as width,
+                   (case when doc_id % 2 = 0 then n // 12 else 0 end)::INT
+                     as height,
+                   (case when doc_id % 2 = 1 then n else 0 end)::BIGINT
+                     as n_frames,
+                   (case when doc_id % 2 = 1 then 8000 else 0 end)::INT
+                     as framerate,
+                   case when doc_id % 2 = 0
+                        then md5(substring(text, 1, ((n // 12) * 12)::INT))
+                        else md5(text) end as payload_md5
+            from t
+            where doc_id % 2 = 1 or n >= 12
         """,
         "stateful_schedule": """
             with recursive cand as (

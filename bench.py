@@ -46,6 +46,8 @@ BENCH_QUERIES = [
     "host_pagerank",
     "gopher_quality",
     "segment_dedup",
+    "repetition_stats",
+    "ngram_contamination",
     "tfidf_top_terms",
     "embedding_near_dup",
     "politeness_schedule",

@@ -108,3 +108,109 @@ def test_segment_dedup_max_dupes_threshold(spark):
     out = cleaning.dedup_text_segments(df, max_dupes=2)
     # duplicated twice but threshold allows 2 copies -> nothing dropped
     assert all(r["clean_text"] == block for r in out.collect())
+
+
+# ---------------------------------------------------------------------------
+# repetition stats (Gopher §A1.1 signals)
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_stats_values(spark):
+    rows = [
+        (0, "a b c d"),                 # all unique
+        (1, "x x x x x"),               # one word repeated
+        (2, "a b a b a b"),             # trigrams "a b a"/"b a b" repeat
+        (3, "solo"),                    # single word, no trigrams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in cleaning.repetition_stats(df).collect()}
+    assert out[0]["top_word_cnt"] == 1 and out[0]["top_word_frac"] == 0.25
+    assert out[0]["dup_3gram_frac"] == 0.0
+    assert out[1]["top_word_frac"] == 1.0
+    # 3 trigrams, all "x x x" -> 1 distinct -> 2/3 duplicated
+    assert out[1]["dup_3gram_frac"] == pytest.approx(2 / 3)
+    # 4 trigrams: a b a, b a b, a b a, b a b -> 2 distinct -> 1/2
+    assert out[2]["n_words"] == 6 and out[2]["top_word_cnt"] == 3
+    assert out[2]["dup_3gram_frac"] == 0.5
+    assert out[3]["n_words"] == 1 and out[3]["top_word_frac"] == 1.0
+    assert out[3]["dup_3gram_frac"] == 0.0
+
+
+def test_repetition_stats_is_shuffle_free(spark):
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    plan = (
+        cleaning.repetition_stats(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# n-gram contamination (train-test decontamination)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def contam_frames(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            # contains bench 3-gram "quick brown fox" (and more)
+            (0, "I saw the Quick Brown Fox jumps over a fence"),
+            # no 3-gram overlap
+            (1, "completely different words live in this document"),
+            # two distinct contaminated grams, one repeated twice
+            (2, "quick brown fox quick brown fox lazy dog bark"),
+        ],
+        "doc_id long, text string",
+    )
+    return docs, bench
+
+
+def test_ngram_contamination_counts(contam_frames):
+    docs, bench = contam_frames
+    out = {
+        r["doc_id"]: r
+        for r in cleaning.ngram_contamination(docs, bench, n=3).collect()
+    }
+    assert len(out) == 3
+    # doc 0: lowercased grams "the quick brown","quick brown fox",
+    # "brown fox jumps","fox jumps over" all occur in bench
+    assert out[0]["n_contaminated"] == 4 and out[0]["contaminated"]
+    assert out[1]["n_contaminated"] == 0 and not out[1]["contaminated"]
+    # doc 2: distinct grams hitting bench: "quick brown fox",
+    # "brown fox quick"? no; "fox quick brown"? no; "fox lazy dog"? no
+    # -> only "quick brown fox" (deduped) = 1
+    assert out[2]["n_contaminated"] == 1 and out[2]["contaminated"]
+
+
+def test_ngram_contamination_hashed_tier_parity(contam_frames):
+    docs, bench = contam_frames
+    a = sorted(
+        map(tuple, cleaning.ngram_contamination(docs, bench, n=3).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            cleaning.ngram_contamination(
+                docs, bench, n=3, hashed=True, broadcast_bench=False
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_ngram_contamination_short_docs(spark):
+    bench = spark.createDataFrame([(9, "a b")], "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(0, "a"), (1, "a b c d e")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r["n_contaminated"]
+        for r in cleaning.ngram_contamination(docs, bench, n=13).collect()
+    }
+    # every doc shorter than n yields zero grams on both sides
+    assert out == {0: 0, 1: 0}

@@ -129,6 +129,76 @@ def test_simhash64_band_guarantee(docs):
         dedup.simhash64_near_pairs(docs, max_hamming=4, n_bands=4)
 
 
+def test_ppm_roundtrip_and_header_robustness():
+    import numpy as np
+
+    payload = bytes(range(48))  # 4 wide x 4 tall x 3 channels
+    ppm = multimodal.encode_ppm(payload, width=4)
+    d = multimodal.decode_ppm(ppm)
+    assert (d["width"], d["height"], d["maxval"]) == (4, 4, 255)
+    assert d["pixels"].tobytes() == payload
+    # surplus bytes are dropped to a whole row
+    assert multimodal.decode_ppm(
+        multimodal.encode_ppm(payload + b"xy", width=4)
+    )["pixels"].tobytes() == payload
+    assert multimodal.encode_ppm(b"short", width=4) is None
+    # comment + arbitrary whitespace in the header (netpbm spec)
+    hand = b"P6 # rgb\n# comment line\n  2\t1 # w h\n255\n" + bytes(6)
+    d2 = multimodal.decode_ppm(hand)
+    assert (d2["width"], d2["height"]) == (2, 1)
+    # P5 grayscale
+    d3 = multimodal.decode_ppm(b"P5\n3 2\n255\n" + bytes(6))
+    assert d3["pixels"].shape == (2, 3, 1)
+    with pytest.raises(ValueError):
+        multimodal.decode_ppm(b"\x89PNG....")
+    assert isinstance(
+        multimodal._decode_image_real(ppm), np.ndarray
+    )
+    with pytest.raises(NotImplementedError):
+        multimodal._decode_image_real(b"\xff\xd8\xff\xe0jpeg...")
+
+
+def test_wav_roundtrip():
+    payload = bytes(range(200))
+    wav = multimodal.encode_wav(payload, framerate=8000)
+    d = multimodal.decode_wav(wav)
+    assert d["n_channels"] == 1 and d["sampwidth"] == 1
+    assert d["framerate"] == 8000 and d["n_frames"] == 200
+    assert d["frames"] == payload
+
+
+def test_media_codec_features_mixed_batch(spark):
+    import hashlib
+
+    rows = [
+        (0, multimodal.encode_ppm(bytes(range(48)), width=4)),
+        (1, multimodal.encode_wav(b"abcdef")),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    out = {r["media_id"]: r for r in
+           multimodal.media_codec_features(media).collect()}
+    img, aud = out[0], out[1]
+    assert (img["kind"], img["width"], img["height"]) == ("image", 4, 4)
+    assert img["payload_md5"] == hashlib.md5(bytes(range(48))).hexdigest()
+    assert (aud["kind"], aud["n_frames"], aud["framerate"]) == (
+        "audio", 6, 8000)
+    assert aud["payload_md5"] == hashlib.md5(b"abcdef").hexdigest()
+
+
+def test_image_features_real_ppm(spark):
+    """fake=False now actually decodes netpbm payloads: the feature is
+    a 16-bin intensity histogram summing to 1."""
+    media = spark.createDataFrame(
+        [(7, multimodal.encode_ppm(bytes(range(48)), width=4))],
+        "media_id long, content binary",
+    )
+    feat = multimodal.image_features(media, fake=False).first()["feature"]
+    assert len(feat) == 16
+    assert abs(sum(feat) - 1.0) < 1e-9
+    # bytes 0..47 fall in the first 3 of 16 bins (bin width 16)
+    assert sum(feat[:3]) == pytest.approx(1.0)
+
+
 @pytest.fixture(scope="module")
 def embeddings(spark):
     import numpy as np

@@ -47,7 +47,7 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass, field
-from typing import Optional
+from typing import Any, Optional
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -118,13 +118,29 @@ class CrawlConfig:
     # network. Both produce identical timestamps (tested).
     fetch_executor: str = "native"
     live_politeness: bool = False        # real sleeps inside the group fn
+    # LIVE transport plug (sources/transport.py): an object exposing
+    # head(url) / get(url) per the reference's access contract
+    # (WebAccesser.py:35-100). When set, the round's HEAD probe (S3)
+    # and GET fetch (S4) happen INSIDE the per-host applyInPandas
+    # executor through this object instead of the offline corpus
+    # joins; FakeTransport(corpus) reproduces the offline crawl
+    # byte-for-byte (tests/test_live_fetch.py), Urllib3Transport is
+    # the real-network client. Must be picklable (ships to executors).
+    transport: Optional[Any] = None
     # O7: bounded output files per snapshot — the WARC 1,000-records
     # rotation analog (WarcFileSave.py:9). 0 = let Spark size files;
     # the CLI sets 1000 for reference-parity output layout.
     records_per_file: int = 0
-    # compact the seen table every N rounds (0 = never): bounds the
-    # delta fan-in the J1 anti-join reads on very long crawls
+    # compact the delta-accumulating tables (seen, host_robots) every
+    # N rounds (0 = never): bounds the delta fan-in the J1 anti-join /
+    # per-wave robots join must read on very long crawls
     compact_seen_every: int = 16
+    # snapshot-retention GC (durable catalogs only, 0 = keep forever):
+    # after each compaction, expire manifest rounds older than the
+    # newest N and delete data dirs referenced only by them — bounds
+    # disk and manifest size on thousand-round crawls while keeping N
+    # rounds of time travel / resume points (tables.ParquetCatalog.gc)
+    gc_keep_rounds: int = 0
     # O13: max rows on the small side of a wave join before the engine
     # stops broadcasting it and falls back to a shuffle-hash join. A
     # round wave is hosts × max_urls_per_host_per_round and is unbounded
@@ -300,6 +316,104 @@ class CrawlEngine:
                             _time.sleep(min(wait, 30.0))
                     consumed += 1
             pdf["attempt_ts"] = ts
+            return pdf
+
+        return sel.groupBy("host").applyInPandas(run_host, out_schema)
+
+    def _fetch_apply_in_pandas_live(
+        self, sel: DataFrame, t_round: float
+    ) -> DataFrame:
+        """S3/W4/S4 fused as a LIVE grouped-map executor (the
+        north_star plug point): each per-host pandas group walks its
+        FIFO and, per row, performs the HEAD probe, the politeness
+        wait, and the GET through ``cfg.transport`` (the reference's
+        access contract, WebAccesser.py:35-100) instead of the offline
+        corpus joins.
+
+        Column semantics mirror the offline path exactly — head miss
+        (transport returns None) == corpus miss (F5), 'text/html'
+        content gate (F3, WebAccesser.py:100), 2xx gate (F4,
+        WebAccesser.py:92-96), and the identical virtual-clock
+        politeness law — so a FakeTransport over the same corpus
+        yields a byte-identical crawl (tests/test_live_fetch.py).
+        ``live_politeness=True`` additionally sleeps the delays out in
+        wall time (Worker.py:209-216).
+
+        Skew note (O9): one pandas group per host, bounded by the
+        per-round budget, so no group exceeds budget rows; hosts fan
+        out across executors like every other host-keyed stage.
+        """
+        from pyspark.sql.types import (
+            BinaryType,
+            BooleanType,
+            DoubleType,
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        out_schema = StructType(
+            list(sel.schema.fields)
+            + [
+                StructField("status", LongType()),
+                StructField("content_type", StringType()),
+                StructField("head_ok", BooleanType()),
+                StructField("should_access", BooleanType()),
+                StructField("fetched", BooleanType()),
+                StructField("attempt_ts", DoubleType()),
+                StructField("html", BinaryType()),
+            ]
+        )
+        transport = self.cfg.transport
+        live = self.cfg.live_politeness
+
+        def run_host(pdf: pd.DataFrame) -> pd.DataFrame:
+            import time as _time
+
+            pdf = pdf.sort_values("rn_host").reset_index(drop=True)
+            start = max(t_round, float(pdf["priority"].iloc[0]))
+            delay = float(pdf["delay"].iloc[0])
+            consumed = 0
+            cols: dict[str, list] = {
+                "status": [], "content_type": [], "head_ok": [],
+                "should_access": [], "fetched": [], "attempt_ts": [],
+                "html": [],
+            }
+            for row in pdf.itertuples(index=False):
+                gate = bool(row.allowed) and bool(row.ext_ok)    # F1/F2
+                status: int | None = None
+                ct: str | None = None
+                head_ok = False
+                if gate:
+                    h = transport.head(row.url)                  # S3
+                    if h is not None:
+                        status, ct = int(h[0]), h[1]
+                        head_ok = ct is not None and "text/html" in ct  # F3
+                should = gate and head_ok                        # F5 via None
+                t = start + consumed * delay                     # W4
+                body = None
+                fetched = False
+                if should:
+                    if live:
+                        wait = t - _time.time()
+                        if wait > 0:
+                            _time.sleep(min(wait, 30.0))
+                    consumed += 1
+                    if 200 <= status < 300:                      # F4
+                        g = transport.get(row.url)               # S4
+                        if g is not None:
+                            status, ct, body = int(g[0]), g[1], g[2]
+                            fetched = True
+                cols["status"].append(status)
+                cols["content_type"].append(ct)
+                cols["head_ok"].append(head_ok)
+                cols["should_access"].append(should)
+                cols["fetched"].append(fetched)
+                cols["attempt_ts"].append(t)
+                cols["html"].append(body)
+            for name, vals in cols.items():
+                pdf[name] = pd.Series(vals, dtype="object")
             return pdf
 
         return sel.groupBy("host").applyInPandas(run_host, out_schema)
@@ -534,9 +648,6 @@ class CrawlEngine:
         cand = checkpoint(cand)
         n_cand = cand.count()  # cached blocks — cheap; drives the O13 gates
         _tt = self._t('cand ckpt', _tt)
-        cand_meta = self._wave_join(
-            self.pages_meta, cand.select("url"), "url", "inner", n_cand
-        )
         # F2 inputs: robots bodies for THIS WAVE's hosts only — joined
         # from the append-only host_robots table, never broadcast
         # wholesale (the scheduling broadcast above is body-free)
@@ -547,7 +658,7 @@ class CrawlEngine:
             "inner",
             n_cand,
         )
-        sel = (
+        gated = (
             self._wave_join(cand, wave_robots, "host", "left", n_cand)
             .withColumn("ext_ok", extension_filter_col(F.col("url")))       # F1
             .withColumn(
@@ -555,25 +666,37 @@ class CrawlEngine:
             )                                                                # F2
             .drop("robots_body")  # bodies must not enter the sel checkpoint
         )
-        sel = (
-            self._wave_join(sel, cand_meta, "url", "left", n_cand)           # S3/J3
-            .withColumn(
-                "head_ok",
-                F.col("status").isNotNull()
-                & F.col("content_type").contains("text/html"),               # F3/F5
+        if cfg.transport is not None:
+            # ---- LIVE path: S3 HEAD + W4 wait + S4 GET through the
+            # transport inside the per-host executor; the checkpoint
+            # below materializes the fetched bytes (a live crawl
+            # cannot re-run the network side of the plan)
+            sel = self._fetch_apply_in_pandas_live(gated, t_round)
+        else:
+            cand_meta = self._wave_join(
+                self.pages_meta, cand.select("url"), "url", "inner", n_cand
             )
-            .withColumn(
-                "should_access",
-                F.col("allowed") & F.col("ext_ok") & F.col("head_ok"),
+            sel = (
+                self._wave_join(gated, cand_meta, "url", "left", n_cand)     # S3/J3
+                .withColumn(
+                    "head_ok",
+                    F.col("status").isNotNull()
+                    & F.col("content_type").contains("text/html"),           # F3/F5
+                )
+                .withColumn(
+                    "should_access",
+                    F.col("allowed") & F.col("ext_ok") & F.col("head_ok"),
+                )
+                .withColumn(
+                    "fetched",
+                    F.col("should_access") & F.col("status").between(200, 299),  # F4
+                )
             )
-            .withColumn(
-                "fetched",
-                F.col("should_access") & F.col("status").between(200, 299),  # F4
-            )
-        )
 
         # ---- W4 politeness: per-host attempt timestamps ----------------
-        if cfg.fetch_executor == "apply_in_pandas":
+        if cfg.transport is not None:
+            pass  # attempt_ts already assigned inside the live executor
+        elif cfg.fetch_executor == "apply_in_pandas":
             sel = self._politeness_apply_in_pandas(sel, t_round)
         else:
             # native window arithmetic (virtual clock, codegen path)
@@ -641,10 +764,16 @@ class CrawlEngine:
             "url", "host", "bucket", "depth", "priority",
             "rn_host", "attempt_ts", "delay",
         )
-        fetched_full = (
-            self._wave_join(                                                 # S4
+        if cfg.transport is not None:
+            # live mode: bodies came back from the transport inside
+            # the executor — no corpus join exists to re-read them
+            fetched_src = sel.filter("fetched")
+        else:
+            fetched_src = self._wave_join(                                   # S4
                 self.pages_html, fetch_keys, "url", "inner", n_fetched_round
             )
+        fetched_full = (
+            fetched_src
             .withColumn("_p", parse_page_udf(F.col("html"), F.col("host")))  # P6-P11
             .drop("html")
             .select(
@@ -889,13 +1018,19 @@ class CrawlEngine:
         st.round += 1
         if cfg.limit is not None and st.total_fetched >= cfg.limit:
             st.done = True
-        if (
+        compacting = (
             cfg.compact_seen_every
             and round_no > 0
             and round_no % cfg.compact_seen_every == 0
-        ):
+        )
+        if compacting:
             self.cat.compact("seen")
+            self.cat.compact("host_robots")
         self.cat.commit_round(round_no, st.to_json())
+        if compacting and cfg.gc_keep_rounds and self.cat.durable:
+            # after the commit so the compacted dirs are referenced by
+            # a retained manifest row before anything is deleted
+            self.cat.gc(cfg.gc_keep_rounds)
         return {
             "round": round_no,
             "attempted": int(n_attempted),

@@ -110,6 +110,149 @@ def apply_gopher_filter(df: DataFrame, col: str = "text", id_col: str = "doc_id"
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# intra-document repetition stats (Gopher §A1.1 repetition signals)
+# ---------------------------------------------------------------------------
+
+
+def repetition_stats(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    ngram_n: int = 3,
+) -> DataFrame:
+    """Per-document repetition signals (Rae et al. 2021 §A1.1): the
+    top-word frequency fraction and the duplicate word-n-gram
+    fraction. Machine-generated / spammy pages score high on both;
+    pipelines threshold these next to the Gopher gate.
+
+    Per-doc metrics need NO cross-document data, so this is a pure
+    projection — zero shuffles, whole-stage codegen, pushdown-friendly
+    (reads only ``id_col`` and ``col``). The top-word count uses the
+    sorted-array run-length trick (O(n log n) per doc, not the naive
+    O(n·distinct) count-each-word scan):
+
+        sorted = array_sort(words)
+        starts = indices i where sorted[i] != sorted[i-1]
+        run lengths = successive-start deltas; top count = max run
+
+    Output: (id, n_words, top_word_cnt, top_word_frac, dup_ngram_frac)
+    where dup_ngram_frac = (total n-grams − distinct) / total.
+    """
+    t = F.col(col)
+    words = words_col(t)
+    n_words = F.size(words)
+
+    srt = F.array_sort(words)
+    # i is 0-based; element_at is 1-based, so element_at(srt, i) is the
+    # PREVIOUS element. The i == 0 case must short-circuit through CASE
+    # (not `|`) or ANSI mode faults on array index 0.
+    starts = F.filter(
+        F.transform(
+            srt,
+            lambda x, i: F.when(i == 0, i).otherwise(
+                F.when(F.element_at(srt, i) != x, i).otherwise(F.lit(-1))
+            ),
+        ),
+        lambda v: v >= 0,
+    )
+    ends = F.concat(
+        F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))),
+        F.array(n_words),
+    )
+    top_cnt = F.array_max(F.zip_with(ends, starts, lambda e, s: e - s))
+
+    n_g = F.greatest(n_words - F.lit(ngram_n - 1), F.lit(0))
+    grams = F.when(n_g < 1, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n_g),
+            lambda i: F.array_join(F.slice(words, i, ngram_n), " "),
+        )
+    )
+    dup_frac = F.when(n_g < 1, F.lit(0.0)).otherwise(
+        (n_g - F.size(F.array_distinct(grams))).cast("double") / n_g
+    )
+
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        top_cnt.cast("long").alias("top_word_cnt"),
+        (top_cnt.cast("double") / n_words).alias("top_word_frac"),
+        dup_frac.alias(f"dup_{ngram_n}gram_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# train-test contamination check (n-gram collision decontamination,
+# the GPT-3 appendix-C / Lee et al. 2022 procedure)
+# ---------------------------------------------------------------------------
+
+
+def ngram_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hashed: bool = False,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Per-doc count of distinct lowercased word ``n``-grams shared
+    with a benchmark/eval corpus — the standard decontamination pass a
+    training pipeline runs before a corpus ships (flag or strip train
+    docs that leak eval data).
+
+    Scale shape: the benchmark side collapses to its DISTINCT gram set
+    (eval suites are ~MBs, so it broadcasts — ``broadcast_bench=False``
+    falls back to a shuffle semi-join for giant holdouts); the corpus
+    side explodes per-doc **deduplicated** grams (bounded by doc
+    length) into a left-semi join + one hash aggregate on ``id_col``.
+    No cross product anywhere; corpus text is read once.
+
+    ``hashed=True`` replaces gram strings with ``xxhash64`` before the
+    join — the production tier at 100 TB (8-byte keys instead of ~100-
+    byte strings through the shuffle); the string tier is the
+    oracle-shareable one (pytest pins tier parity, collisions at
+    10^12 grams are ~1e-7 per Birthday bound).
+    """
+
+    def gram_table(df: DataFrame, out_id: str) -> DataFrame:
+        words = words_col(F.lower(F.col(text_col)))
+        n_g = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
+        grams = F.when(n_g < 1, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), n_g),
+                lambda i: F.array_join(F.slice(words, i, n), " "),
+            )
+        )
+        g = df.select(
+            F.col(id_col).alias(out_id),
+            F.explode(F.array_distinct(grams)).alias("gram"),
+        )
+        if hashed:
+            g = g.withColumn("gram", F.xxhash64("gram"))
+        return g
+
+    bench_grams = gram_table(benchmark, "_bid").select("gram").distinct()
+    if broadcast_bench:
+        bench_grams = F.broadcast(bench_grams)
+    hits = (
+        gram_table(docs, id_col)
+        .join(bench_grams, "gram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+        )
+        .withColumn("contaminated", F.col("n_contaminated") > 0)
+    )
+
+
 def dedup_text_segments(
     df: DataFrame,
     col: str = "text",

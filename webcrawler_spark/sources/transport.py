@@ -1,0 +1,150 @@
+"""Pluggable fetch transports for the live crawl executor.
+
+The engine is offline-by-design (``input_hint``: the corpus is a
+parquet/Iceberg table), but the per-host ``applyInPandas`` fetch
+executor (engine.py ``_fetch_apply_in_pandas_live``) is the declared
+plug point for a real crawler. A transport is any picklable object
+with the reference's access contract (WebAccesser.py:35-100):
+
+    head(url) -> (status:int, content_type:str) | None
+    get(url)  -> (status:int, content_type:str, body:bytes) | None
+
+``None`` means the request failed (connect/read timeout, TLS error,
+DNS miss) — the reference's ``lastResponse == None`` state: the URL is
+counted as attempted-not-fetched, exactly like a corpus miss in the
+offline join.
+
+* :class:`FakeTransport` — deterministic in-process corpus dict; the
+  e2e test (tests/test_live_fetch.py) proves the live executor against
+  it is byte-identical to the offline-join crawl over the same pages.
+* :class:`Urllib3Transport` — the real network client with the
+  reference's pool settings (timeout connect=2/read=3, retries off,
+  browser UA — WebAccesser.py:11,44-50). Untestable in this sandbox
+  (no egress); constructed lazily per executor process.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+
+class FakeTransport:
+    """In-process transport over a {url: (status, content_type, body)}
+    dict. Deterministic: no latency, no jitter; urls in ``fail_urls``
+    simulate a timed-out request (both HEAD and GET return None,
+    mirroring the reference's response-less failure mode)."""
+
+    def __init__(
+        self,
+        corpus: dict[str, tuple[int, str, bytes]],
+        fail_urls: frozenset[str] = frozenset(),
+    ):
+        self.corpus = corpus
+        self.fail_urls = frozenset(fail_urls)
+
+    def head(self, url: str) -> Optional[tuple[int, str]]:
+        if url in self.fail_urls:
+            return None
+        row = self.corpus.get(url)
+        if row is None:
+            return None
+        status, content_type, _ = row
+        return int(status), content_type
+
+    def get(self, url: str) -> Optional[tuple[int, str, bytes]]:
+        if url in self.fail_urls:
+            return None
+        row = self.corpus.get(url)
+        if row is None:
+            return None
+        status, content_type, body = row
+        return int(status), content_type, bytes(body) if body is not None else b""
+
+
+def transport_from_pages(pages) -> FakeTransport:
+    """Collect a (url, status, content_type, html) DataFrame into a
+    FakeTransport. TEST-SCALE ONLY (driver collect): the point is to
+    exercise the live executor path against a known corpus; a real
+    deployment passes :class:`Urllib3Transport` instead."""
+    corpus = {
+        r["url"]: (
+            int(r["status"]),
+            r["content_type"] or "",
+            bytes(r["html"]) if r["html"] is not None else b"",
+        )
+        for r in pages.select("url", "status", "content_type", "html").collect()
+    }
+    return FakeTransport(corpus)
+
+
+class Urllib3Transport:
+    """Real network transport with the reference crawler's pool
+    contract (WebAccesser.py:44-50): connect timeout 2s, read timeout
+    3s, no retries, certifi CA bundle, browser-like User-Agent
+    (WebAccesser.py:11). The pool is created lazily in each executor
+    process (PoolManager is not picklable; only the config ships).
+
+    Not exercisable in this sandbox (no network egress) — covered by
+    the FakeTransport e2e parity test, which drives the identical
+    executor code path.
+    """
+
+    UA = (
+        "Mozilla/5.0 (platform; rv:geckoversion) Gecko/geckotrail"
+        " Firefox/firefoxversion"
+    )
+
+    def __init__(self, connect_timeout: float = 2.0, read_timeout: float = 3.0):
+        self.connect_timeout = connect_timeout
+        self.read_timeout = read_timeout
+        self._pool = None  # lazily built per process
+
+    def __getstate__(self):
+        return {
+            "connect_timeout": self.connect_timeout,
+            "read_timeout": self.read_timeout,
+        }
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._pool = None
+
+    def _pool_or_create(self):
+        if self._pool is None:
+            import urllib3
+
+            kwargs = {"retries": False}
+            try:
+                import certifi
+
+                kwargs["cert_reqs"] = "CERT_REQUIRED"
+                kwargs["ca_certs"] = certifi.where()
+            except ImportError:
+                pass
+            self._pool = urllib3.PoolManager(
+                timeout=urllib3.util.Timeout(
+                    connect=self.connect_timeout, read=self.read_timeout
+                ),
+                **kwargs,
+            )
+        return self._pool
+
+    def _request(self, method: str, url: str):
+        try:
+            return self._pool_or_create().request(
+                method, url, headers={"User-Agent": self.UA}
+            )
+        except Exception:
+            return None  # reference parity: any transport error -> no response
+
+    def head(self, url: str) -> Optional[tuple[int, str]]:
+        r = self._request("HEAD", url)
+        if r is None:
+            return None
+        return int(r.status), r.headers.get("content-type", "")
+
+    def get(self, url: str) -> Optional[tuple[int, str, bytes]]:
+        r = self._request("GET", url)
+        if r is None:
+            return None
+        return int(r.status), r.headers.get("content-type", ""), r.data

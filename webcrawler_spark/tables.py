@@ -152,6 +152,11 @@ class MemoryCatalog:
     def load_state(self) -> Optional[dict]:
         return dict(self._state) if self._state else None
 
+    def gc(self, keep_rounds: int = 8) -> dict:
+        """No-op: the ephemeral catalog reclaims replaced dirs at every
+        commit already (no time-travel manifest to retain)."""
+        return {"pruned_rounds": 0, "deleted_dirs": 0}
+
 
 class ParquetCatalog:
     """Durable snapshot catalog: parquet data dirs + manifest.json.
@@ -314,8 +319,43 @@ class ParquetCatalog:
 
     def compact(self, name: str) -> DataFrame:
         """Merge delta dirs into one snapshot dir (manifest keeps old
-        dirs referenced by prior rounds; nothing is deleted)."""
+        dirs referenced by prior rounds; nothing is deleted — pair
+        with :meth:`gc` to reclaim on long crawls)."""
         cur = self.read(name)
         if cur is None:
             return None
         return self.overwrite(name, cur)
+
+    def gc(self, keep_rounds: int = 8) -> dict:
+        """Snapshot-retention GC (Iceberg ``expire_snapshots`` analog):
+        prune manifest rows older than the newest ``keep_rounds`` and
+        delete data dirs referenced ONLY by pruned rows. Dirs shared
+        with retained rows (tables that didn't change) and dirs staged
+        by the in-flight round survive; time travel keeps working for
+        every retained round. Bounds disk AND the manifest itself on
+        thousand-round crawls."""
+        import shutil
+
+        if keep_rounds < 1:
+            raise ValueError("keep_rounds must be >= 1")
+        m = self._manifest()
+        rounds = m["rounds"]
+        if len(rounds) <= keep_rounds:
+            return {"pruned_rounds": 0, "deleted_dirs": 0}
+        kept, pruned = rounds[-keep_rounds:], rounds[:-keep_rounds]
+        live = {
+            d for r in kept for ds in r["tables"].values() for d in ds
+        }
+        with self._lock:
+            live |= {d for ds in self._dirs.values() for d in ds}
+        dead = {
+            d for r in pruned for ds in r["tables"].values() for d in ds
+        } - live
+        for d in sorted(dead):
+            shutil.rmtree(d, ignore_errors=True)
+        m["rounds"] = kept
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1)
+        os.replace(tmp, self._manifest_path)
+        return {"pruned_rounds": len(pruned), "deleted_dirs": len(dead)}
