@@ -863,6 +863,53 @@ def _q_crawl_rowsonly(spark, sf):
     )
 
 
+def _q_unigram_logprob(spark, sf):
+    """CCNet-style LM quality proxy: per-doc mean unigram log10-prob
+    under the corpus's own unigram model (explode → model agg →
+    broadcast join → per-doc agg; no window)."""
+    from webcrawler_spark.operators.textstats import unigram_logprob
+
+    return unigram_logprob(_docs(spark, sf))
+
+
+def _q_duplicated_ngrams(spark, sf):
+    """Exact-substring duplication stats (Lee et al. 2022): fraction
+    of each doc's 8-token windows whose exact sequence occurs ≥2 times
+    anywhere in the corpus."""
+    from webcrawler_spark.operators.dedup import duplicated_ngrams
+
+    return duplicated_ngrams(_docs(spark, sf), k=8)
+
+
+_MIX_RATES = {"en": 0.5, "zh": 0.25, "es": 0.75}
+
+
+def _q_mixture_sample(spark, sf):
+    """Deterministic stratified mixture sampling: keep rate by lang,
+    decided by md5(doc_id) so the sample is bit-reproducible across
+    engines, retries, and cluster sizes."""
+    from webcrawler_spark.operators.mixing import mixture_sample
+
+    return mixture_sample(
+        _docs(spark, sf), rates=_MIX_RATES, default_rate=0.1
+    ).select("doc_id", "lang", "source")
+
+
+def _q_source_report(spark, sf):
+    """Dataset-card rollup per (source, lang): doc/token counts, mean
+    length, exact-duplicate fraction — one hash aggregate."""
+    from webcrawler_spark.operators.mixing import source_report
+
+    return source_report(_docs(spark, sf)).select(
+        "source",
+        "stratum",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        "avg_chars",
+        "exact_dup_frac",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": _q_pricing_summary,
@@ -888,6 +935,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "ngram_contamination": _q_ngram_contamination,
         "tfidf_top_terms": _q_tfidf_top_terms,
+        "unigram_logprob": _q_unigram_logprob,
+        "duplicated_ngrams": _q_duplicated_ngrams,
+        "mixture_sample": _q_mixture_sample,
+        "source_report": _q_source_report,
         "simhash": _q_simhash,
         "simhash_near_pairs": _q_simhash_near_pairs,
         "text_quality": _q_text_quality,
@@ -1222,6 +1273,65 @@ def oracle_sql() -> dict[str, str]:
                    row_number() over (partition by doc_id
                                       order by tfidf desc, term) as rank
             from scored qualify rank <= 3
+        """,
+        "unigram_logprob": """
+            with words as (select doc_id,
+                             unnest(string_split(text, ' ')) as term
+                           from documents),
+            model as (select term, count(*) as cnt
+                      from words group by term),
+            tot as (select sum(cnt) as total from model)
+            select doc_id, count(*) as n_tokens,
+                   round(avg(log10(cnt / total)), 6) as avg_logp
+            from words join model using (term) cross join tot
+            group by doc_id
+        """,
+        "duplicated_ngrams": """
+            with toks as (select doc_id, string_split(text, ' ') as ws
+                          from documents),
+            grams as (
+              select doc_id,
+                     unnest(list_transform(
+                       generate_series(1, len(ws) - 7),
+                       i -> cast(('0x' || substring(md5(array_to_string(
+                              list_slice(ws, i, i + 7), ' ')), 1, 8))
+                            as ubigint))) as g
+              from toks where len(ws) >= 8),
+            occ as (select g, count(*) as occ from grams group by g),
+            pd as (select doc_id,
+                          count(*) as n_grams,
+                          sum(case when occ >= 2 then 1 else 0 end)
+                            as dup_grams
+                   from grams join occ using (g) group by doc_id)
+            select d.doc_id,
+                   cast(coalesce(n_grams, 0) as bigint) as n_grams,
+                   cast(coalesce(dup_grams, 0) as bigint) as dup_grams,
+                   case when coalesce(n_grams, 0) > 0
+                        then round(cast(dup_grams as double) / n_grams, 6)
+                        else 0.0 end as dup_gram_frac
+            from documents d left join pd using (doc_id)
+        """,
+        "mixture_sample": """
+            select doc_id, lang, source
+            from documents
+            where cast(('0x' || substring(md5(cast(doc_id as varchar)),
+                                          1, 8)) as ubigint)
+                    / 4294967296.0
+                  < case lang when 'en' then 0.5
+                              when 'zh' then 0.25
+                              when 'es' then 0.75
+                              else 0.1 end
+        """,
+        "source_report": """
+            select source, lang as stratum,
+                   cast(count(*) as bigint) as n_docs,
+                   cast(sum(len(string_split(text, ' '))) as bigint)
+                     as total_tokens,
+                   round(avg(length(text)), 6) as avg_chars,
+                   round(1.0 - cast(count(distinct md5(text)) as double)
+                             / count(*), 6) as exact_dup_frac
+            from documents
+            group by source, lang
         """,
         "gopher_quality": f"""
             with s as (

@@ -48,6 +48,10 @@ BENCH_QUERIES = [
     "segment_dedup",
     "repetition_stats",
     "ngram_contamination",
+    "unigram_logprob",
+    "duplicated_ngrams",
+    "mixture_sample",
+    "source_report",
     "tfidf_top_terms",
     "embedding_near_dup",
     "politeness_schedule",

@@ -1,0 +1,101 @@
+"""Corpus mixing & reporting: deterministic stratified sampling and
+dataset-card rollups.
+
+A training-data pipeline ends with *mixture construction*: given
+per-stratum target rates (e.g. upsample low-resource languages,
+downsample boilerplate-heavy sources), emit a reproducible sample.
+Randomness must be a pure function of the row key — `rand()` changes
+under retries, repartitions, and re-runs, which silently breaks
+exactly-once semantics of incremental pipeline re-builds. The sampler
+here derives a uniform in [0, 1) from the first 8 hex digits of
+md5(key), the same construction DuckDB can evaluate, so the sample is
+bit-reproducible across engines and cluster sizes.
+
+Plan shape at scale: pure codegen projection + filter — zero shuffles,
+filter pushes to the scan when the stratum column is a partition key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# 2^32: the md5-prefix space; u = int(md5[:8], 16) / 2^32 is uniform
+# in [0, 1) with 32-bit resolution — plenty for sampling rates.
+_HASH_SPACE = float(1 << 32)
+
+
+def uniform_hash_col(key: Column) -> Column:
+    """Deterministic uniform [0, 1) from a key column.
+
+    ``conv(substr(md5(key), 1, 8), 16, 10)`` is whole-stage-codegen
+    JVM-side; the DuckDB twin is
+    ``cast(('0x' || substring(md5(key), 1, 8)) as ubigint)``.
+    """
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast(
+            "double"
+        )
+        / F.lit(_HASH_SPACE)
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Keep each row with probability ``rates[stratum]`` (else
+    ``default_rate``), decided by the deterministic per-row hash.
+
+    The decision depends only on (id, rate table): re-running at any
+    parallelism, partitioning, or engine yields the same sample —
+    the property that makes mixture re-builds reproducible at 100 TB.
+    """
+    rate = F.lit(float(default_rate))
+    for stratum, r in sorted(rates.items()):
+        rate = F.when(
+            F.col(stratum_col) == stratum, F.lit(float(r))
+        ).otherwise(rate)
+    return df.where(uniform_hash_col(F.col(id_col)) < rate)
+
+
+def source_report(
+    df: DataFrame,
+    source_col: str = "source",
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dataset-card rollup per (source, stratum): document count,
+    token totals, mean length, and the exact-duplicate fraction
+    (1 - distinct texts / docs).
+
+    One hash aggregate on (source, stratum); the duplicate fraction
+    rides the same aggregate via ``count(distinct md5(text))`` —
+    hashing first keeps the distinct-agg state at 32 bytes/row
+    instead of carrying full document text through the shuffle.
+    """
+    return (
+        df.groupBy(
+            F.col(source_col).alias("source"),
+            F.col(stratum_col).alias("stratum"),
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(F.split(F.col(text_col), " "))).alias("total_tokens"),
+            F.round(F.avg(F.length(F.col(text_col))), 6).alias("avg_chars"),
+            F.countDistinct(F.md5(F.col(text_col))).alias("distinct_texts"),
+        )
+        .select(
+            "source",
+            "stratum",
+            "n_docs",
+            "total_tokens",
+            "avg_chars",
+            F.round(
+                F.lit(1.0) - F.col("distinct_texts") / F.col("n_docs"), 6
+            ).alias("exact_dup_frac"),
+        )
+    )

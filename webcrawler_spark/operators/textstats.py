@@ -215,3 +215,40 @@ def winnow_fingerprints(
         F.filter(F.array(F.array_min(grams)), lambda x: x.isNotNull())
     )
     return df.select(F.col(id_col), F.explode(fps).alias("fp"))
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document mean unigram log-probability: (doc_id, n_tokens,
+    avg_logp) — the unigram tier of CCNet's LM quality bucketing
+    (Wenzek et al. 2020: documents scored by an LM trained on a clean
+    corpus; here the corpus itself supplies the unigram model, which is
+    what the head/middle/tail split degenerates to without KenLM).
+
+    avg_logp = mean over doc tokens of log10(count(w) / total_tokens).
+    Lower (more negative) = rarer vocabulary. Plan shape at scale: one
+    explode, one hash aggregate on term (the model — vocabulary-sized,
+    so broadcast), a 1-row total, then a per-doc hash aggregate — no
+    window, no self-join. The float is rounded to 6 decimals; the
+    sum-order noise of an avg over one document's tokens is ~1e-15
+    relative, far below the quantum.
+    """
+    words = df.select(
+        F.col(id_col), F.explode(words_col(F.col(text_col))).alias("term")
+    )
+    model = words.groupBy("term").agg(F.count("*").alias("cnt"))
+    total = model.select(F.sum("cnt").alias("total"))
+    return (
+        words.join(F.broadcast(model), "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.avg(F.log10(F.col("cnt") / F.col("total"))), 6
+            ).alias("avg_logp"),
+        )
+    )
