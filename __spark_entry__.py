@@ -44,6 +44,9 @@ def entry(spark: SparkSession) -> DataFrame:
         pages_from_documents,
     )
 
+    from webcrawler_spark.session import tune_session
+
+    tune_session(spark)
     pages = pages_from_documents(spark, SF0001)
     seeds = document_web_seeds(spark, SF0001)
     session = crawl(
@@ -69,7 +72,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _docs(spark, sf):
-    return spark.read.parquet(f"{sf}/documents.parquet")
+    """Documents table, spread across the cluster's cores.
+
+    The sandbox table is one small parquet file = ONE input split, so
+    without the repartition every explode/hash-heavy stage (shingling,
+    minhash, simhash, n-gram) runs in a single task on one core while
+    the rest idle. A production corpus is thousands of splits and never
+    hits this; the repartition makes the small-scale plan shape match
+    the at-scale one (doc_id-hashed, all cores busy) at the cost of one
+    tiny shuffle.
+    """
+    df = spark.read.parquet(f"{sf}/documents.parquet")
+    return df.repartition(spark.sparkContext.defaultParallelism, "doc_id")
 
 
 def _q_pricing_summary(spark, sf):
@@ -910,8 +924,22 @@ def _q_source_report(spark, sf):
     )
 
 
+def _tuned(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
+    """Apply runtime perf confs (JIT-compilable codegen limit etc.) to
+    the harness-owned session before building the query — execution
+    tuning only, never semantics (webcrawler_spark/session.py)."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from webcrawler_spark.session import tune_session
+
+        tune_session(spark)
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    q = {
         "pricing_summary": _q_pricing_summary,
         "anti_join_unseen": _q_anti_join_unseen,
         "broadcast_dim_join": _q_broadcast_dim_join,
@@ -964,6 +992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stateful_schedule": _q_stateful_schedule,
         "crawl_rowsonly": _q_crawl_rowsonly,
     }
+    return {name: _tuned(fn) for name, fn in q.items()}
 
 
 # ---------------------------------------------------------------------------

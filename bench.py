@@ -109,14 +109,18 @@ def main() -> int:
 
     import __spark_entry__ as entrymod
 
+    from webcrawler_spark.session import apply_perf_conf
+
     spark = (
-        SparkSession.builder.master(f"local[{CPUS}]")
-        .appName("webcrawler-spark-bench")
-        .config("spark.driver.memory", "16g")
-        .config("spark.sql.shuffle.partitions", str(CPUS))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.ui.enabled", "false")
-        .config("spark.sql.session.timeZone", "UTC")
+        apply_perf_conf(
+            SparkSession.builder.master(f"local[{CPUS}]")
+            .appName("webcrawler-spark-bench")
+            .config("spark.driver.memory", "16g")
+            .config("spark.sql.shuffle.partitions", str(CPUS))
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.ui.enabled", "false")
+            .config("spark.sql.session.timeZone", "UTC")
+        )
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -125,6 +129,7 @@ def main() -> int:
 
     crawl_sec, crawl_stats = run_crawl_bench(spark)
     timings["crawl"] = round(crawl_sec, 3)
+    print(f"[bench] crawl: {timings['crawl']}s", file=sys.stderr)
 
     qs = entrymod.queries()
     for name in BENCH_QUERIES:
@@ -132,6 +137,7 @@ def main() -> int:
         # count() forces full execution without driver-collecting rows
         qs[name](spark, SF_DIR).count()
         timings[name] = round(time.time() - t0, 3)
+        print(f"[bench] {name}: {timings[name]}s", file=sys.stderr)
 
     # production 64-bit simhash tier (pytest-verified vs the 32-bit
     # oracle tier; not a queries() entry because DuckDB lacks xxhash64)

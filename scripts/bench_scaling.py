@@ -70,16 +70,19 @@ def child(cpus: int) -> None:
 
     from webcrawler_spark.engine import CrawlConfig
     from webcrawler_spark.plans.crawl import crawl
+    from webcrawler_spark.session import apply_perf_conf
     from webcrawler_spark.sources.synthetic_web import big_web_seeds, build_big_web
 
     spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName(f"crawl-scaling-{cpus}")
-        .config("spark.driver.memory", "24g")
-        .config("spark.sql.shuffle.partitions", str(cpus))
-        .config("spark.sql.adaptive.enabled", os.environ.get("SPARK_GRAFT_AQE", "true"))
-        .config("spark.local.dir", os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/tmp"))
-        .config("spark.ui.enabled", "false")
+        apply_perf_conf(
+            SparkSession.builder.master(f"local[{cpus}]")
+            .appName(f"crawl-scaling-{cpus}")
+            .config("spark.driver.memory", "24g")
+            .config("spark.sql.shuffle.partitions", str(cpus))
+            .config("spark.sql.adaptive.enabled", os.environ.get("SPARK_GRAFT_AQE", "true"))
+            .config("spark.local.dir", os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/tmp"))
+            .config("spark.ui.enabled", "false")
+        )
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

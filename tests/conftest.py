@@ -1,23 +1,21 @@
 import pytest
 from pyspark.sql import SparkSession
 
+from webcrawler_spark.session import apply_perf_conf
+
 
 @pytest.fixture(scope="session")
 def spark():
     s = (
-        SparkSession.builder.master("local[8]")
-        .appName("webcrawler-spark-tests")
-        .config("spark.driver.memory", "4g")
-        .config("spark.sql.shuffle.partitions", "4")
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.ui.enabled", "false")
-        # bound driver-side status/plan retention: the iterative round
-        # loop issues thousands of tiny queries per session
-        .config("spark.sql.ui.retainedExecutions", "8")
-        .config("spark.ui.retainedJobs", "100")
-        .config("spark.ui.retainedStages", "100")
-        .config("spark.sql.maxPlanStringLength", "8192")
-        .config("spark.sql.session.timeZone", "UTC")
+        apply_perf_conf(
+            SparkSession.builder.master("local[8]")
+            .appName("webcrawler-spark-tests")
+            .config("spark.driver.memory", "4g")
+            .config("spark.sql.shuffle.partitions", "4")
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.ui.enabled", "false")
+            .config("spark.sql.session.timeZone", "UTC")
+        )
         .getOrCreate()
     )
     s.sparkContext.setLogLevel("ERROR")

@@ -50,7 +50,11 @@ def main(argv=None) -> int:
     from webcrawler_spark.plans.crawl import crawl, resume_crawl
 
     args = build_parser().parse_args(argv)
-    spark = SparkSession.builder.appName("webcrawler-spark").getOrCreate()
+    from webcrawler_spark.session import apply_perf_conf
+
+    spark = apply_perf_conf(
+        SparkSession.builder.appName("webcrawler-spark")
+    ).getOrCreate()
     pages = spark.read.parquet(args.pages)
     cfg = CrawlConfig(
         limit=args.limit,
