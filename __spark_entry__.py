@@ -924,6 +924,66 @@ def _q_source_report(spark, sf):
     )
 
 
+def _q_redact_pii(spark, sf):
+    """PII scrub (email / IPv4 / phone regex redaction with per-
+    category audit counts) over documents with deterministically
+    injected PII — the pre-training scrub pass; pure codegen
+    projection, zero shuffles."""
+    from webcrawler_spark.operators.cleaning import redact_pii
+
+    d = _docs(spark, sf)
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example or +44 20 7946 "),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" at 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7"),
+        ).alias("text"),
+    )
+    return redact_pii(injected)
+
+
+def _q_anchor_topk(spark, sf):
+    """Anchor-text consolidation: per-target top-3 inbound anchor
+    texts by count (the web-corpus target-description signal). Edges
+    built deterministically: doc i links to target doc-((31i+7) mod
+    97) with the first two words of i's text as the anchor."""
+    from webcrawler_spark.operators.graph import anchor_text_topk
+
+    d = _docs(spark, sf)
+    edges = d.select(
+        F.concat(
+            F.lit("doc-"), ((F.col("doc_id") * 31 + 7) % 97).cast("string")
+        ).alias("dst"),
+        F.array_join(
+            F.slice(F.split(F.col("text"), " "), 1, 2), " "
+        ).alias("anchor"),
+    )
+    return anchor_text_topk(edges, k=3)
+
+
+def _q_quality_mixture(spark, sf):
+    """CCNet-style LM-bucketed mixture: unigram LM score → fixed-cut
+    quality buckets → per-bucket deterministic keep rates (composition
+    of unigram_logprob and the md5-hash sampler; no windows, no
+    global quantile pass)."""
+    from webcrawler_spark.operators.mixing import quality_sample
+    from webcrawler_spark.operators.textstats import unigram_logprob
+
+    scored = unigram_logprob(_docs(spark, sf))
+    return quality_sample(
+        scored,
+        cuts=[-1.478, -1.4765],
+        rates=[0.3, 1.0, 0.6],
+        score_col="avg_logp",
+    ).select("doc_id", "n_tokens", "avg_logp", "bucket")
+
+
 def _tuned(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
     """Apply runtime perf confs (JIT-compilable codegen limit etc.) to
     the harness-owned session before building the query — execution
@@ -967,6 +1027,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicated_ngrams": _q_duplicated_ngrams,
         "mixture_sample": _q_mixture_sample,
         "source_report": _q_source_report,
+        "redact_pii": _q_redact_pii,
+        "anchor_topk": _q_anchor_topk,
+        "quality_mixture": _q_quality_mixture,
         "simhash": _q_simhash,
         "simhash_near_pairs": _q_simhash_near_pairs,
         "text_quality": _q_text_quality,
@@ -1350,6 +1413,76 @@ def oracle_sql() -> dict[str, str]:
                               when 'zh' then 0.25
                               when 'es' then 0.75
                               else 0.1 end
+        """,
+        "redact_pii": r"""
+            with injected as (
+              select doc_id,
+                     text || ' reach user' || doc_id::VARCHAR
+                       || '@mail.example or +44 20 7946 '
+                       || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                       || ' at 10.0.' || (doc_id % 256)::VARCHAR || '.7'
+                       as t
+              from documents)
+            select doc_id,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(t,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                         '<EMAIL>', 'g'),
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                       '<IP>', 'g'),
+                     '\+\d{1,3}([ -]?\d{2,4}){2,3}\b',
+                     '<PHONE>', 'g') as redacted_text,
+                   len(regexp_extract_all(t,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                     as n_email,
+                   len(regexp_extract_all(t,
+                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) as n_ipv4,
+                   len(regexp_extract_all(t,
+                     '\+\d{1,3}([ -]?\d{2,4}){2,3}\b'))
+                     as n_phone
+            from injected
+        """,
+        "anchor_topk": """
+            with edges as (
+              select 'doc-' || ((doc_id * 31 + 7) % 97)::VARCHAR as dst,
+                     array_to_string(
+                       list_slice(string_split(text, ' '), 1, 2), ' ')
+                       as anchor
+              from documents),
+            agg as (select dst, anchor, count(*) as n_inlinks
+                    from edges group by dst, anchor)
+            select dst, anchor, n_inlinks,
+                   row_number() over (partition by dst
+                                      order by n_inlinks desc, anchor)
+                     as rank
+            from agg qualify rank <= 3
+        """,
+        "quality_mixture": """
+            with words as (select doc_id,
+                             unnest(string_split(text, ' ')) as term
+                           from documents),
+            model as (select term, count(*) as cnt
+                      from words group by term),
+            tot as (select sum(cnt) as total from model),
+            scored as (
+              select doc_id, count(*) as n_tokens,
+                     round(avg(log10(cnt / total)), 6) as avg_logp
+              from words join model using (term) cross join tot
+              group by doc_id),
+            bucketed as (
+              select *,
+                     (avg_logp >= -1.478)::INT
+                       + (avg_logp >= -1.4765)::INT as bucket
+              from scored)
+            select doc_id, n_tokens, avg_logp, bucket
+            from bucketed
+            where cast(('0x' || substring(md5(cast(doc_id as varchar)),
+                                          1, 8)) as ubigint)
+                    / 4294967296.0
+                  < case bucket when 0 then 0.3
+                                when 1 then 1.0
+                                else 0.6 end
         """,
         "source_report": """
             select source, lang as stratum,

@@ -52,6 +52,9 @@ BENCH_QUERIES = [
     "duplicated_ngrams",
     "mixture_sample",
     "source_report",
+    "redact_pii",
+    "anchor_topk",
+    "quality_mixture",
     "tfidf_top_terms",
     "embedding_near_dup",
     "politeness_schedule",

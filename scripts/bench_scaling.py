@@ -89,15 +89,22 @@ def child(cpus: int) -> None:
     # production path: the corpus is a columnar table (parquet /
     # Iceberg), so narrow scans (url,status,content_type) never touch
     # the html column; a localCheckpoint row-cache would deserialize
-    # full rows on every scan and hide the engine's column pruning
-    pages_dir = os.path.join(tempfile.mkdtemp(prefix="bigweb-"), "pages")
-    build_big_web(
-        spark,
-        num_hosts=HOSTS,
-        pages_per_host=PAGES_PER_HOST,
-        partitions=cpus * 2,
-        body_kb=BODY_KB,
-    ).write.parquet(pages_dir)
+    # full rows on every scan and hide the engine's column pruning.
+    # The corpus is deterministic, so the parent pre-builds it ONCE at
+    # full box parallelism and every arm reads the same files
+    # (SPARK_GRAFT_BENCH_PAGES_DIR) — input prep is not measured work,
+    # and rebuilding 640k 32 KiB pages inside a 2-core-pinned child
+    # would dominate its wall clock.
+    pages_dir = os.environ.get("SPARK_GRAFT_BENCH_PAGES_DIR")
+    if not pages_dir or not os.path.isdir(pages_dir):
+        pages_dir = os.path.join(tempfile.mkdtemp(prefix="bigweb-"), "pages")
+        build_big_web(
+            spark,
+            num_hosts=HOSTS,
+            pages_per_host=PAGES_PER_HOST,
+            partitions=cpus * 2,
+            body_kb=BODY_KB,
+        ).write.parquet(pages_dir)
     pages = spark.read.parquet(pages_dir)
     seeds = big_web_seeds(spark, num_hosts=HOSTS, every=int(os.environ.get("SPARK_GRAFT_BENCH_SEED_EVERY", "5")))
     cfg = CrawlConfig(
@@ -133,15 +140,50 @@ def child(cpus: int) -> None:
     )
 
 
-def _run_child(cpus: int, offset: int) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_BENCH_CORE_OFFSET=str(offset))
+def build_corpus(pages_dir: str) -> None:
+    """Pre-build the deterministic corpus once, unpinned, at full box
+    parallelism (runs as its own subprocess/JVM so the parent stays
+    JVM-free)."""
+    from pyspark.sql import SparkSession
+
+    from webcrawler_spark.session import apply_perf_conf
+    from webcrawler_spark.sources.synthetic_web import build_big_web
+
+    spark = (
+        apply_perf_conf(
+            SparkSession.builder.master("local[*]")
+            .appName("crawl-scaling-corpus-build")
+            .config("spark.driver.memory", "24g")
+            .config("spark.sql.shuffle.partitions", "32")
+            .config("spark.local.dir", os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/tmp"))
+            .config("spark.ui.enabled", "false")
+        )
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    build_big_web(
+        spark,
+        num_hosts=HOSTS,
+        pages_per_host=PAGES_PER_HOST,
+        partitions=32,
+        body_kb=BODY_KB,
+    ).write.parquet(pages_dir)
+    spark.stop()
+
+
+def _run_child(cpus: int, offset: int, pages_dir: str) -> dict:
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_BENCH_CORE_OFFSET=str(offset),
+        SPARK_GRAFT_BENCH_PAGES_DIR=pages_dir,
+    )
     out = subprocess.run(
         [sys.executable, __file__, "--child", str(cpus)],
         capture_output=True,
         text=True,
         cwd=REPO,
         env=env,
-        timeout=3000,
+        timeout=9000,
     )
     lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
     if out.returncode != 0 or not lines:
@@ -192,6 +234,18 @@ def parent() -> None:
     import threading
 
     k_pairs = int(os.environ.get("SPARK_GRAFT_BENCH_PAIRS", "2"))
+    pages_dir = os.environ.get("SPARK_GRAFT_BENCH_PAGES_DIR")
+    if not pages_dir:
+        pages_dir = os.path.join(tempfile.mkdtemp(prefix="bigweb-"), "pages")
+    if not os.path.isdir(pages_dir):
+        print(f"building shared corpus at {pages_dir}", file=sys.stderr)
+        out = subprocess.run(
+            [sys.executable, __file__, "--build", pages_dir],
+            cwd=REPO,
+            timeout=6000,
+        )
+        if out.returncode != 0:
+            raise RuntimeError("corpus build failed")
     pairs: list[dict] = []
     for i in range(k_pairs):
         res: dict[int, dict] = {}
@@ -199,7 +253,7 @@ def parent() -> None:
 
         def run(cpus: int, off: int) -> None:
             try:
-                res[cpus] = _run_child(cpus, off)
+                res[cpus] = _run_child(cpus, off, pages_dir)
             except BaseException as e:  # surfaced after join
                 err.append(e)
 
@@ -269,5 +323,7 @@ def parent() -> None:
 if __name__ == "__main__":
     if len(sys.argv) > 2 and sys.argv[1] == "--child":
         child(int(sys.argv[2]))
+    elif len(sys.argv) > 2 and sys.argv[1] == "--build":
+        build_corpus(sys.argv[2])
     else:
         parent()

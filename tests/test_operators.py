@@ -471,3 +471,75 @@ def test_tfidf_top_terms_matches_python_reference(spark):
         got.setdefault(r["doc_id"], []).append((r["term"], r["tfidf"]))
         assert 1 <= r["rank"] <= 3
     assert got == want
+
+
+def test_redact_pii_categories_and_counts(spark):
+    from webcrawler_spark.operators.cleaning import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (0, "mail me at jane.doe+x@sub.example.org thanks"),
+            (1, "server 192.168.10.7 and backup 10.0.0.1 are up"),
+            (2, "call +44 20 7946 0958 or +1 555 0172 today"),
+            (3, "no pii here at all"),
+            (4, "two mails a@b.co c@d.io one ip 8.8.8.8"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert out[0]["redacted_text"] == "mail me at <EMAIL> thanks"
+    assert (out[0]["n_email"], out[0]["n_ipv4"], out[0]["n_phone"]) == (1, 0, 0)
+    assert out[1]["redacted_text"] == "server <IP> and backup <IP> are up"
+    assert out[1]["n_ipv4"] == 2
+    assert "<PHONE>" in out[2]["redacted_text"]
+    assert out[2]["n_phone"] == 2
+    assert out[3]["redacted_text"] == "no pii here at all"
+    assert (out[3]["n_email"], out[3]["n_ipv4"], out[3]["n_phone"]) == (0, 0, 0)
+    assert out[4]["redacted_text"] == "two mails <EMAIL> <EMAIL> one ip <IP>"
+
+
+def test_anchor_text_topk_order_and_bound(spark):
+    from webcrawler_spark.operators.graph import anchor_text_topk
+
+    edges = spark.createDataFrame(
+        # target t1: "news" x3, "blog" x2, "alpha" x1, "zeta" x1
+        [("t1", "news")] * 3
+        + [("t1", "blog")] * 2
+        + [("t1", "alpha"), ("t1", "zeta"), ("t2", "solo")],
+        "dst string, anchor string",
+    )
+    out = anchor_text_topk(edges, k=3).collect()
+    t1 = sorted(
+        [(r["rank"], r["anchor"], r["n_inlinks"]) for r in out if r["dst"] == "t1"]
+    )
+    # count desc, then anchor asc breaks the alpha/zeta tie
+    assert t1 == [(1, "news", 3), (2, "blog", 2), (3, "alpha", 1)]
+    t2 = [(r["rank"], r["anchor"]) for r in out if r["dst"] == "t2"]
+    assert t2 == [(1, "solo")]
+
+
+def test_quality_sample_buckets_and_determinism(spark):
+    import pytest as _pytest
+
+    from webcrawler_spark.operators.mixing import quality_sample
+
+    rows = [(i, -4.0 + i * 0.05) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, score double")
+    kw = dict(cuts=[-3.0, -1.0], rates=[0.0, 1.0, 0.5], score_col="score")
+    out = quality_sample(df, **kw).collect()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], set()).add(r["doc_id"])
+    # bucket 0 rate 0.0 -> nothing survives; bucket 1 rate 1.0 -> all 40
+    assert 0 not in by_bucket
+    assert by_bucket[1] == {i for i in range(100) if -3.0 <= rows[i][1] < -1.0}
+    # bucket 2 rate 0.5 -> a strict, deterministic subset
+    b2_all = {i for i in range(100) if rows[i][1] >= -1.0}
+    assert set() < by_bucket[2] < b2_all
+    # decision is a pure function of doc_id: partitioning cannot change it
+    again = quality_sample(df.repartition(7), **kw).collect()
+    assert {(r["doc_id"], r["bucket"]) for r in again} == {
+        (r["doc_id"], r["bucket"]) for r in out
+    }
+    with _pytest.raises(ValueError):
+        quality_sample(df, cuts=[-3.0], rates=[1.0], score_col="score")

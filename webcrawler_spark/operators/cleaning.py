@@ -325,3 +325,42 @@ def dedup_text_segments(
             "n_total",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (the pre-training scrub pass: emails, phone numbers,
+# IPv4 addresses — the categories public pipelines redact by regex,
+# e.g. the BigScience ROOTS / Dolma scrub steps)
+# ---------------------------------------------------------------------------
+
+# Patterns are kept to the regex subset Java's engine and RE2-style
+# engines (DuckDB) interpret identically: no backrefs, no lookaround,
+# character classes + bounded repetition only. Order matters: emails
+# are redacted before phone numbers so digit runs inside an address
+# never half-match.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{1,3}([ -]?\d{2,4}){2,3}\b", "<PHONE>"),
+]
+
+
+def redact_pii(
+    df: DataFrame, col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, redacted_text, n_email, n_ipv4, n_phone) — regex scrub with
+    per-category hit counts for the dataset-card audit trail.
+
+    Pure whole-stage-codegen projection: zero shuffles, only ``col`` and
+    ``id_col`` read (column pruning reaches the scan). At 100 TB this is
+    a map-only pass that pipelines into whatever sink follows; the
+    per-category counts aggregate downstream like any other column.
+    """
+    counts = [
+        F.size(F.regexp_extract_all(F.col(col), F.lit(pat), F.lit(0))).alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    red = F.col(col)
+    for _, pat, repl in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, repl)
+    return df.select(F.col(id_col), red.alias("redacted_text"), *counts)

@@ -40,6 +40,7 @@ from typing import Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from webcrawler_spark import sparkutil
 
@@ -323,3 +324,43 @@ def pagerank(
     deg.unpersist()
     nodes.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# anchor-text consolidation
+# ---------------------------------------------------------------------------
+
+
+def anchor_text_topk(
+    edges: DataFrame,
+    k: int = 3,
+    dst_col: str = "dst",
+    anchor_col: str = "anchor",
+) -> DataFrame:
+    """Per-target top-k anchor texts by inbound count:
+    (dst, anchor, n_inlinks, rank).
+
+    The classic web-corpus side signal (anchor text describes the
+    *target* page better than the target's own boilerplate; used for
+    retrieval corpora and quality weighting). Input is the extracted
+    link table (src, dst, anchor) the parse stage produces.
+
+    Plan shape at 100 TB: one hash aggregate on (dst, anchor) — the
+    partial/map-side combine collapses repeated boilerplate anchors
+    before the shuffle — then a per-dst window over the already
+    aggregated (≤ distinct-anchor) rows. No self-joins; a mega-hub dst
+    is bounded by its distinct anchor strings, not its in-degree, and
+    the deterministic (count desc, anchor asc) order makes the output
+    engine-reproducible.
+    """
+    agg = edges.groupBy(dst_col, anchor_col).agg(
+        F.count("*").alias("n_inlinks")
+    )
+    w = Window.partitionBy(dst_col).orderBy(
+        F.desc("n_inlinks"), F.asc(anchor_col)
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(dst_col, anchor_col, "n_inlinks", "rank")
+    )

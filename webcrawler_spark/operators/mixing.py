@@ -99,3 +99,40 @@ def source_report(
             ).alias("exact_dup_frac"),
         )
     )
+
+
+def quality_sample(
+    scored: DataFrame,
+    cuts: list[float],
+    rates: list[float],
+    score_col: str = "mean_log10_prob",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-stratified sampling: bucket each row by fixed score
+    thresholds, keep with the bucket's rate (decided by the same
+    deterministic per-row hash as :func:`mixture_sample`).
+
+    ``cuts`` are ascending score cutoffs splitting the line into
+    ``len(cuts) + 1`` buckets; ``rates[i]`` is the keep rate of bucket
+    i (bucket 0 = score below ``cuts[0]``). This is the CCNet/Wenzek
+    LM-bucketing mixture step with *fixed* thresholds rather than
+    corpus quantiles — quantiles need a global sort or approxQuantile
+    pre-pass, while fixed cuts keep the pass a pure codegen
+    projection+filter, reproducible across corpus snapshots (a doc's
+    fate never depends on what else is in the batch).
+
+    Output: input rows that survive, plus ``bucket`` for the audit
+    rollup.
+    """
+    if len(rates) != len(cuts) + 1:
+        raise ValueError("need len(rates) == len(cuts) + 1")
+    s = F.col(score_col)
+    bucket = F.lit(0)
+    for c in cuts:
+        bucket = bucket + (s >= F.lit(float(c))).cast("int")
+    rate = F.lit(float(rates[0]))
+    for i, r in enumerate(rates[1:], start=1):
+        rate = F.when(bucket == i, F.lit(float(r))).otherwise(rate)
+    return scored.withColumn("bucket", bucket).where(
+        uniform_hash_col(F.col(id_col)) < rate
+    )
