@@ -81,6 +81,17 @@ def child(cpus: int) -> None:
             .config("spark.sql.shuffle.partitions", str(cpus))
             .config("spark.sql.adaptive.enabled", os.environ.get("SPARK_GRAFT_AQE", "true"))
             .config("spark.local.dir", os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/tmp"))
+            # split the corpus scan fine enough that every arm runs
+            # multiple task waves: at the default 128 MiB the ~1 GiB
+            # corpus coalesces to ~11 input partitions, which is 1.4
+            # ragged waves on 8 cores (measured: the fetch+parse stage
+            # scaled only 2.7x from 2 to 8 cores purely from the tail)
+            # — the small-file analog of sizing maxPartitionBytes so a
+            # 100 TB scan yields several tasks per executor core
+            .config(
+                "spark.sql.files.maxPartitionBytes",
+                os.environ.get("SPARK_GRAFT_BENCH_MAX_PART", "16m"),
+            )
             .config("spark.ui.enabled", "false")
         )
         .getOrCreate()
