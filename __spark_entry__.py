@@ -984,6 +984,59 @@ def _q_quality_mixture(spark, sf):
     ).select("doc_id", "n_tokens", "avg_logp", "bucket")
 
 
+_PACK_SEQ_LEN = 128
+
+
+def _q_pack_chunks(spark, sf):
+    """Concat-then-chunk training-sequence packing (GPT-style): each
+    doc's global token offset comes from the engine's distributed
+    prefix-sum (operators/prefix.py — range partition, partition-local
+    cumsum, O(P) driver offsets; no un-partitioned window), then pure
+    arithmetic maps spans to fixed-length sequence ids."""
+    from webcrawler_spark.operators.packing import (
+        pack_concat_chunks,
+        token_count_col,
+    )
+
+    d = _docs(spark, sf).select(
+        "doc_id", token_count_col("text").cast("long").alias("n_tokens")
+    )
+    out = pack_concat_chunks(d, seq_len=_PACK_SEQ_LEN)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.col("tok_start").cast("long").alias("tok_start"),
+        "seq_first",
+        "seq_last",
+        F.col("offset_in_seq").cast("long").alias("offset_in_seq"),
+        "n_seqs",
+    )
+
+
+def _q_pack_greedy(spark, sf):
+    """Boundary-respecting greedy packing, shard-local (T5-style):
+    docs route to 8 md5-derived shards, each shard packs sequentially
+    in doc_id order inside one applyInPandas group — zero cross-shard
+    state, bit-stable at any parallelism. Oracle: a DuckDB recursive
+    CTE replays the identical greedy recurrence per shard."""
+    from webcrawler_spark.operators.packing import pack_greedy, token_count_col
+
+    d = _docs(spark, sf).select(
+        "doc_id", token_count_col("text").cast("long").alias("n_tokens")
+    )
+    # md5-derived shard (not xxhash64) so the oracle engine can replay
+    # the routing; same construction as mixing.uniform_hash_col
+    shard = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 8
+    )
+    return pack_greedy(
+        d, seq_len=_PACK_SEQ_LEN, n_shards=8, shard_expr=shard
+    )
+
+
 def _tuned(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
     """Apply runtime perf confs (JIT-compilable codegen limit etc.) to
     the harness-owned session before building the query — execution
@@ -1027,6 +1080,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicated_ngrams": _q_duplicated_ngrams,
         "mixture_sample": _q_mixture_sample,
         "source_report": _q_source_report,
+        "pack_chunks": _q_pack_chunks,
+        "pack_greedy": _q_pack_greedy,
         "redact_pii": _q_redact_pii,
         "anchor_topk": _q_anchor_topk,
         "quality_mixture": _q_quality_mixture,
@@ -1402,6 +1457,96 @@ def oracle_sql() -> dict[str, str]:
                         then round(cast(dup_grams as double) / n_grams, 6)
                         else 0.0 end as dup_gram_frac
             from documents d left join pd using (doc_id)
+        """,
+        "pack_chunks": r"""
+            with toks as (
+              select doc_id,
+                     cast(len(regexp_extract_all(text, '\S+')) as bigint)
+                       as n_tokens
+              from documents),
+            ne as (select * from toks where n_tokens > 0),
+            c as (
+              select doc_id, n_tokens,
+                     cast(coalesce(sum(n_tokens) over (
+                       order by doc_id
+                       rows between unbounded preceding and 1 preceding
+                     ), 0) as bigint) as tok_start
+              from ne)
+            select doc_id, n_tokens, tok_start,
+                   cast(tok_start // 128 as bigint) as seq_first,
+                   cast((tok_start + n_tokens - 1) // 128 as bigint)
+                     as seq_last,
+                   cast(tok_start % 128 as bigint) as offset_in_seq,
+                   cast((tok_start + n_tokens - 1) // 128
+                        - tok_start // 128 + 1 as bigint) as n_seqs
+            from c
+        """,
+        "pack_greedy": r"""
+            with recursive toks as (
+              select doc_id,
+                     cast(len(regexp_extract_all(text, '\S+')) as bigint)
+                       as n_tokens
+              from documents),
+            sh as (
+              select cast(cast(('0x' || substring(
+                       md5(doc_id::varchar), 1, 8)) as ubigint) % 8 as int)
+                       as shard,
+                     doc_id, n_tokens
+              from toks where n_tokens > 0),
+            ord as (
+              select shard, doc_id, n_tokens,
+                     row_number() over (partition by shard
+                                        order by doc_id) as rn
+              from sh),
+            rec as (
+              select shard, doc_id, n_tokens, rn,
+                     cast(0 as bigint) as seq_pl,
+                     cast(0 as bigint) as off_pl,
+                     case when least(n_tokens, 128) >= 128
+                          then cast(1 as bigint) else cast(0 as bigint) end
+                       as seq_nx,
+                     case when least(n_tokens, 128) >= 128
+                          then cast(0 as bigint)
+                          else least(n_tokens, 128) end as used_nx
+              from ord where rn = 1
+              union all
+              select o.shard, o.doc_id, o.n_tokens, o.rn,
+                     r.seq_nx + case when r.used_nx > 0
+                                      and r.used_nx + least(o.n_tokens, 128)
+                                          > 128
+                                     then 1 else 0 end,
+                     case when r.used_nx > 0
+                           and r.used_nx + least(o.n_tokens, 128) > 128
+                          then cast(0 as bigint) else r.used_nx end,
+                     r.seq_nx
+                       + case when r.used_nx > 0
+                               and r.used_nx + least(o.n_tokens, 128) > 128
+                              then 1 else 0 end
+                       + case when (case when r.used_nx > 0
+                                          and r.used_nx
+                                              + least(o.n_tokens, 128) > 128
+                                         then 0 else r.used_nx end)
+                                   + least(o.n_tokens, 128) >= 128
+                              then 1 else 0 end,
+                     case when (case when r.used_nx > 0
+                                      and r.used_nx
+                                          + least(o.n_tokens, 128) > 128
+                                     then 0 else r.used_nx end)
+                               + least(o.n_tokens, 128) >= 128
+                          then cast(0 as bigint)
+                          else (case when r.used_nx > 0
+                                      and r.used_nx
+                                          + least(o.n_tokens, 128) > 128
+                                     then 0 else r.used_nx end)
+                               + least(o.n_tokens, 128) end
+              from ord o join rec r
+                on o.shard = r.shard and o.rn = r.rn + 1)
+            select shard, doc_id, n_tokens,
+                   seq_pl as seq_in_shard,
+                   off_pl as offset_in_seq,
+                   cast(case when n_tokens > 128 then 1 else 0 end as int)
+                     as truncated
+            from rec
         """,
         "mixture_sample": """
             select doc_id, lang, source

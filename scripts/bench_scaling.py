@@ -33,6 +33,7 @@ import time
 HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
 sys.path.insert(0, REPO)
+sys.path.insert(0, HERE)
 
 # Defaults = the BENCH.md headline configuration: 640k-page corpus,
 # 240k-page budget, 4 frontier rounds. Rounds this size keep the
@@ -73,29 +74,38 @@ def child(cpus: int) -> None:
     from webcrawler_spark.session import apply_perf_conf
     from webcrawler_spark.sources.synthetic_web import big_web_seeds, build_big_web
 
-    spark = (
-        apply_perf_conf(
-            SparkSession.builder.master(f"local[{cpus}]")
-            .appName(f"crawl-scaling-{cpus}")
-            .config("spark.driver.memory", "24g")
-            .config("spark.sql.shuffle.partitions", str(cpus))
-            .config("spark.sql.adaptive.enabled", os.environ.get("SPARK_GRAFT_AQE", "true"))
-            .config("spark.local.dir", os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/tmp"))
-            # split the corpus scan fine enough that every arm runs
-            # multiple task waves: at the default 128 MiB the ~1 GiB
-            # corpus coalesces to ~11 input partitions, which is 1.4
-            # ragged waves on 8 cores (measured: the fetch+parse stage
-            # scaled only 2.7x from 2 to 8 cores purely from the tail)
-            # — the small-file analog of sizing maxPartitionBytes so a
-            # 100 TB scan yields several tasks per executor core
-            .config(
-                "spark.sql.files.maxPartitionBytes",
-                os.environ.get("SPARK_GRAFT_BENCH_MAX_PART", "16m"),
-            )
-            .config("spark.ui.enabled", "false")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"crawl-scaling-{cpus}")
+        .config("spark.driver.memory", "24g")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", os.environ.get("SPARK_GRAFT_AQE", "true"))
+        .config("spark.local.dir", os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/tmp"))
+        # split the corpus scan fine enough that every arm runs
+        # multiple task waves: at the default 128 MiB the ~1 GiB
+        # corpus coalesces to ~11 input partitions, which is 1.4
+        # ragged waves on 8 cores (measured: the fetch+parse stage
+        # scaled only 2.7x from 2 to 8 cores purely from the tail)
+        # — the small-file analog of sizing maxPartitionBytes so a
+        # 100 TB scan yields several tasks per executor core
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_BENCH_MAX_PART", "16m"),
         )
-        .getOrCreate()
+        .config("spark.ui.enabled", "false")
     )
+    # optional per-stage diagnostics (SPARK_GRAFT_BENCH_EVENTLOG=dir):
+    # event logs carry executorRunTime/CpuTime/GC per task, the ground
+    # truth for where an arm's CPU-seconds go
+    _ev = os.environ.get("SPARK_GRAFT_BENCH_EVENTLOG")
+    if _ev:
+        os.makedirs(_ev, exist_ok=True)
+        builder = (
+            builder.config("spark.eventLog.enabled", "true")
+            .config("spark.eventLog.dir", _ev)
+            .config("spark.eventLog.compress", "false")
+        )
+    spark = apply_perf_conf(builder).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     # production path: the corpus is a columnar table (parquet /
     # Iceberg), so narrow scans (url,status,content_type) never touch
@@ -172,13 +182,21 @@ def build_corpus(pages_dir: str) -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    build_big_web(
+    df = build_big_web(
         spark,
         num_hosts=HOSTS,
         pages_per_host=PAGES_PER_HOST,
         partitions=32,
         body_kb=BODY_KB,
-    ).write.parquet(pages_dir)
+    )
+    # hash-spread pages across files: spark.range generation is
+    # host-contiguous, so a round's wave (per-host URL batches) would
+    # concentrate its parse work in the few splits holding those
+    # hosts' pages (measured: 15.3 s max task vs 5.1 s mean in the
+    # round-3 fetch = a one-task tail on the 4N arm). url-hash layout
+    # makes every split carry a uniform share of every wave — the
+    # shape a real multi-segment corpus scan has.
+    df.repartition(64, df.url).write.parquet(pages_dir)
     spark.stop()
 
 
@@ -218,6 +236,180 @@ def _cpu_times() -> tuple[float, float, float]:
     return busy, steal, busy + steal + idle + iowait
 
 
+def _ensure_corpus(pages_dir: str | None) -> str:
+    if not pages_dir:
+        pages_dir = os.path.join(tempfile.mkdtemp(prefix="bigweb-"), "pages")
+    if not os.path.isdir(pages_dir):
+        print(f"building shared corpus at {pages_dir}", file=sys.stderr)
+        out = subprocess.run(
+            [sys.executable, __file__, "--build", pages_dir],
+            cwd=REPO,
+            timeout=6000,
+        )
+        if out.returncode != 0:
+            raise RuntimeError("corpus build failed")
+    return pages_dir
+
+
+def _probe_worker(core: int, idx, counts, stop) -> None:
+    """One pinned html-parse loop (the calibrate_box workload) used as
+    a live CPU-delivery probe; bumps its shared counter per parse."""
+    try:
+        os.sched_setaffinity(0, {core})
+    except OSError:
+        pass
+    from calibrate_box import make_page
+    from html.parser import HTMLParser
+
+    page = make_page(32)
+
+    class P(HTMLParser):
+        def handle_data(self, d):
+            pass
+
+    while not stop.is_set():
+        p = P()
+        p.feed(page)
+        p.close()
+        counts[idx] += 1
+
+
+class WeatherProbe:
+    """Continuous pinned calibration load on cores DISJOINT from the
+    arm windows. Runs for the whole protocol so background box load is
+    constant across arms; per-window parse rates give a measured
+    weather covariate to normalize arm rates by."""
+
+    CORES = tuple(
+        int(c) for c in os.environ.get(
+            "SPARK_GRAFT_BENCH_PROBE_CORES", "16,17,18,19"
+        ).split(",")
+    )
+
+    def __init__(self):
+        import multiprocessing as mp
+
+        self._stop = mp.Event()
+        self._counts = mp.Array("l", len(self.CORES))
+        self._procs = [
+            mp.Process(
+                target=_probe_worker,
+                args=(c, i, self._counts, self._stop),
+                daemon=True,
+            )
+            for i, c in enumerate(self.CORES)
+        ]
+        for p in self._procs:
+            p.start()
+
+    def snapshot(self) -> int:
+        return sum(self._counts)
+
+    def stop(self) -> None:
+        self._stop.set()
+        for p in self._procs:
+            p.join(timeout=5)
+
+
+def parent_seq(k_reps: int) -> None:
+    """HEADLINE protocol (round 3): interleaved SOLO pinned runs.
+
+    Each arm runs ALONE on the box, pinned to exactly its core budget
+    (N = 2 cores, 4N = 8 cores), repeated ``k_reps`` times with the
+    arm order flipped every repetition (8,2 / 2,8 / 8,2 ...) so slow
+    drift in box weather biases neither arm. Per-run /proc/stat
+    busy/steal fractions are recorded; runs taken while the rest of
+    the box is busy are visible in the telemetry rather than silently
+    folded into the result. Headline efficiency =
+    (median 4N rate / median N rate) / 4.
+
+    Why not the round-2 synchronized-pair protocol: two co-resident
+    JVMs share the socket's memory bandwidth, LLC, and /tmp device —
+    resources two *separate clusters* (the thing the north_rule
+    actually compares) do not share. Measured here: the 4N arm does
+    1,105 pages/s solo but only ~590 pages/s when an N arm crawls
+    beside it (-47%), while the N arm loses ~11% — the pair measures
+    co-tenant contention, not engine scaling, and its "efficiency" is
+    a lower bound that tightens as page weight grows. (Round 2's pair
+    numbers accidentally dodged this: each arm built its own corpus
+    in-process first, at different speeds, so the heavy crawl windows
+    barely overlapped. Fixing corpus prep out of the arms exposed the
+    contention.) The solo protocol's residual exposure is
+    tens-of-seconds weather between runs — handled by repetition,
+    order-flipping, and the telemetry gate; the synchronized pair is
+    still available via --pairs for the co-tenancy bound.
+    """
+    import statistics
+
+    pages_dir = _ensure_corpus(os.environ.get("SPARK_GRAFT_BENCH_PAGES_DIR"))
+    probe = WeatherProbe()
+    time.sleep(3)  # probe warmup (fork + first parses)
+    runs: list[dict] = []
+    try:
+        for rep in range(k_reps):
+            order = [8, 2] if rep % 2 == 0 else [2, 8]
+            for cpus in order:
+                cpu0 = _cpu_times()
+                pr0 = probe.snapshot()
+                t0 = time.time()
+                res = _run_child(cpus, 0, pages_dir)
+                wall = time.time() - t0
+                pr1 = probe.snapshot()
+                cpu1 = _cpu_times()
+                d_total = max(cpu1[2] - cpu0[2], 1e-9)
+                probe_rate = (pr1 - pr0) / max(wall, 1e-9)
+                res["box_weather"] = {
+                    "busy_frac": round((cpu1[0] - cpu0[0]) / d_total, 3),
+                    "steal_frac": round((cpu1[1] - cpu0[1]) / d_total, 4),
+                    "wall_s": round(wall, 1),
+                    "arm_budget_frac": round(cpus / 32.0, 3),
+                    # html-parses/s delivered to the pinned probe cores
+                    # DURING this arm's window — the CPU-delivery
+                    # covariate used for normalization
+                    "probe_rate": round(probe_rate, 1),
+                }
+                res["rep"] = rep
+                res["norm_rate"] = (
+                    round(res["pages_per_sec"] / probe_rate, 4)
+                    if probe_rate > 0
+                    else None
+                )
+                runs.append(res)
+                print(json.dumps(res), file=sys.stderr)
+    finally:
+        probe.stop()
+    r2 = sorted(r["pages_per_sec"] for r in runs if r["cpus"] == 2)
+    r8 = sorted(r["pages_per_sec"] for r in runs if r["cpus"] == 8)
+    n2 = sorted(r["norm_rate"] for r in runs if r["cpus"] == 2 and r["norm_rate"])
+    n8 = sorted(r["norm_rate"] for r in runs if r["cpus"] == 8 and r["norm_rate"])
+    med2, med8 = statistics.median(r2), statistics.median(r8)
+    summary = {
+        "protocol": "interleaved_solo_pinned_probe_normalized",
+        "n_cores": 2,
+        "reps": k_reps,
+        "rate_n": med2,
+        "rate_4n": med8,
+        "rate_n_all": r2,
+        "rate_4n_all": r8,
+        "scaling_efficiency_raw": round((med8 / med2) / 4, 3),
+        "runs": runs,
+        "config": {
+            "hosts": HOSTS,
+            "pages_per_host": PAGES_PER_HOST,
+            "body_kb": BODY_KB,
+            "limit": LIMIT,
+        },
+    }
+    if n2 and n8:
+        nm2, nm8 = statistics.median(n2), statistics.median(n8)
+        summary["scaling_efficiency"] = round((nm8 / nm2) / 4, 3)
+        summary["norm_rate_n_all"] = n2
+        summary["norm_rate_4n_all"] = n8
+    else:
+        summary["scaling_efficiency"] = summary["scaling_efficiency_raw"]
+    print(json.dumps(summary))
+
+
 def parent() -> None:
     # Protocol: K synchronized pairs of CONCURRENT arms on disjoint
     # pinned core sets. This sandbox's CPU delivery is bursty on a
@@ -245,18 +437,7 @@ def parent() -> None:
     import threading
 
     k_pairs = int(os.environ.get("SPARK_GRAFT_BENCH_PAIRS", "2"))
-    pages_dir = os.environ.get("SPARK_GRAFT_BENCH_PAGES_DIR")
-    if not pages_dir:
-        pages_dir = os.path.join(tempfile.mkdtemp(prefix="bigweb-"), "pages")
-    if not os.path.isdir(pages_dir):
-        print(f"building shared corpus at {pages_dir}", file=sys.stderr)
-        out = subprocess.run(
-            [sys.executable, __file__, "--build", pages_dir],
-            cwd=REPO,
-            timeout=6000,
-        )
-        if out.returncode != 0:
-            raise RuntimeError("corpus build failed")
+    pages_dir = _ensure_corpus(os.environ.get("SPARK_GRAFT_BENCH_PAGES_DIR"))
     pairs: list[dict] = []
     for i in range(k_pairs):
         res: dict[int, dict] = {}
@@ -336,5 +517,8 @@ if __name__ == "__main__":
         child(int(sys.argv[2]))
     elif len(sys.argv) > 2 and sys.argv[1] == "--build":
         build_corpus(sys.argv[2])
-    else:
+    elif len(sys.argv) > 1 and sys.argv[1] == "--pairs":
         parent()
+    else:
+        # default: the headline interleaved-solo protocol
+        parent_seq(int(sys.argv[2]) if len(sys.argv) > 2 else 3)

@@ -263,7 +263,10 @@ class CrawlEngine:
 
         now = _time.time()
         if self._TRACE:
-            print(f"    [trace] {label}: {now - t0:.2f}s", flush=True)
+            print(
+                f"    [trace] {label}: {now - t0:.2f}s @{now % 100000:.2f}",
+                flush=True,
+            )
         return now
 
     def _bucket(self, host: F.Column) -> F.Column:
@@ -1031,6 +1034,7 @@ class CrawlEngine:
             # after the commit so the compacted dirs are referenced by
             # a retained manifest row before anything is deleted
             self.cat.gc(cfg.gc_keep_rounds)
+        _tt = self._t('round tail (free/compact/commit)', _tt)
         return {
             "round": round_no,
             "attempted": int(n_attempted),
@@ -1042,8 +1046,12 @@ class CrawlEngine:
     def run(self, seeds: DataFrame | None = None, verbose: bool = False) -> list[dict]:
         """Full crawl: init (unless resuming) + rounds until quiescence
         (D4), budget (A1), or max_rounds."""
+        import time as _time
+
+        _t0 = _time.time()
         if seeds is not None:
             self.init_from_seeds(seeds)
+        _t0 = self._t('init_from_seeds', _t0)
         history = []
         while not self.state.done:
             if (
