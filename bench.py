@@ -52,6 +52,8 @@ BENCH_QUERIES = [
     "duplicated_ngrams",
     "mixture_sample",
     "source_report",
+    "pack_chunks",
+    "pack_greedy",
     "redact_pii",
     "anchor_topk",
     "quality_mixture",

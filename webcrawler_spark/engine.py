@@ -440,11 +440,11 @@ class CrawlEngine:
         )
         self.cat.overwrite("frontier", fr.repartition("bucket"))
         empty = self.spark.createDataFrame([], _SEEN_SCHEMA)
-        self.cat.overwrite("seen", empty)
-        self.cat.overwrite(
+        self.cat.register_empty("seen", empty)
+        self.cat.register_empty(
             "host_state", self.spark.createDataFrame([], _HOST_STATE_SCHEMA)
         )
-        self.cat.overwrite(
+        self.cat.register_empty(
             "host_robots", self.spark.createDataFrame([], _HOST_ROBOTS_SCHEMA)
         )
         self.state = CrawlState()

@@ -79,6 +79,7 @@ class MemoryCatalog:
         # scanning them)
         self._lock = threading.Lock()
         self._garbage: list[str] = []
+        self._empty: dict = {}  # name -> schema of a job-free empty table
 
     def _new_dir(self, name: str) -> str:
         with self._lock:
@@ -88,6 +89,9 @@ class MemoryCatalog:
     def read(self, name: str) -> Optional[DataFrame]:
         dirs = self._dirs.get(name)
         if not dirs:
+            schema = self._empty.get(name)
+            if schema is not None:
+                return self.spark.createDataFrame([], schema)
             return None
         return self.spark.read.parquet(*dirs)
 
@@ -95,6 +99,7 @@ class MemoryCatalog:
         d = self._new_dir(name)
         df.write.parquet(d)
         with self._lock:
+            self._empty.pop(name, None)
             old = self._dirs.get(name)
             self._dirs[name] = [d]
             if old:
@@ -102,6 +107,21 @@ class MemoryCatalog:
                 # round jobs can still read the replaced snapshot
                 self._garbage.extend(old)
         return self.spark.read.parquet(d)
+
+    def register_empty(self, name: str, df: DataFrame) -> DataFrame:
+        """Initialize a table as empty WITHOUT running a Spark job:
+        only the schema is recorded, and ``read`` synthesizes an empty
+        frame until the first real write. Crawl init registers three
+        empty tables (seen / host_state / host_robots); on the
+        ephemeral catalog a parquet write per table is ~1 s of pure
+        per-round-independent driver fixed cost — the kind that drags
+        the big-arm scaling ratio — for zero information."""
+        with self._lock:
+            self._empty[name] = df.schema
+            old = self._dirs.pop(name, None)
+            if old:
+                self._garbage.extend(old)
+        return self.read(name)
 
     def append(self, name: str, df: DataFrame, max_records_per_file: int = 0) -> DataFrame:
         d = self._new_dir(name)
@@ -295,6 +315,12 @@ class ParquetCatalog:
         with self._lock:
             self._dirs[name] = [d]
         return self.spark.read.parquet(d)
+
+    def register_empty(self, name: str, df: DataFrame) -> DataFrame:
+        """Durable catalogs must materialize even empty snapshots (a
+        resume needs the schema on disk), so this is a plain
+        overwrite; the job-free path exists only on MemoryCatalog."""
+        return self.overwrite(name, df)
 
     def append(self, name: str, df: DataFrame, max_records_per_file: int = 0) -> DataFrame:
         d = self._new_dir(name)
