@@ -16,9 +16,22 @@ the box, not the engine, is the bottleneck, so 2-vs-8 is the honest
 within-capacity N-vs-4N comparison. BENCH.md records the calibration
 numbers alongside the result.
 
+HEADLINE protocol (default, ``parent_seq``): interleaved SOLO pinned
+runs — each arm alone on the box, order flipped per repetition, each
+run normalized by a concurrent pinned html-parse probe on disjoint
+cores (the live CPU-delivery covariate; this box's delivery swings
+~30% minute-to-minute). Median normalized rates give the headline
+efficiency. The round-2 synchronized-pair protocol remains available
+via ``--pairs``; it measures co-tenant memory-bandwidth/disk
+contention between the two co-resident JVMs (a real N-vs-4N
+comparison runs on separate hardware) and is reported as a lower
+bound only. Full methodology + measurements in BENCH.md.
+
 Usage:
-    python scripts/bench_scaling.py              # parent: runs both, prints JSON
-    python scripts/bench_scaling.py --child 8    # child: one measurement
+    python scripts/bench_scaling.py [--seq K]    # headline: K interleaved solo reps (default 3)
+    python scripts/bench_scaling.py --pairs      # synchronized concurrent pairs (lower bound)
+    python scripts/bench_scaling.py --child 8    # child: one pinned measurement
+    python scripts/bench_scaling.py --build DIR  # pre-build the shared corpus
 """
 
 from __future__ import annotations
@@ -127,7 +140,11 @@ def child(cpus: int) -> None:
             body_kb=BODY_KB,
         ).write.parquet(pages_dir)
     pages = spark.read.parquet(pages_dir)
-    seeds = big_web_seeds(spark, num_hosts=HOSTS, every=int(os.environ.get("SPARK_GRAFT_BENCH_SEED_EVERY", "5")))
+    # every=1: seed the full host list (a production crawl of a known
+    # host universe), giving 3 production-shaped rounds to the 240k
+    # budget instead of 4 geometric ones — one fewer round of fixed
+    # cost on BOTH arms, and all admission work lands in round 1
+    seeds = big_web_seeds(spark, num_hosts=HOSTS, every=int(os.environ.get("SPARK_GRAFT_BENCH_SEED_EVERY", "1")))
     cfg = CrawlConfig(
         limit=LIMIT,
         max_rounds=8,

@@ -187,6 +187,14 @@ class CrawlState:
     # None ⇒ unknown (fresh init / pre-upgrade manifest): fall back to
     # isEmpty() once.
     frontier_rows: Optional[int] = None
+    # frontier rows whose host had NOT been admitted (host_state) when
+    # the snapshot was written — observed for free on the same
+    # overwrite. 0 ⇒ next round's S2 robots admission is provably a
+    # no-op and its joins/UDF/delta-write jobs are skipped (in steady
+    # state, rounds discover no new hosts). None ⇒ unknown (fresh
+    # init / pre-upgrade manifest): run admission, which is always
+    # safe.
+    pending_new_hosts: Optional[int] = None
 
     def to_json(self) -> dict:
         return self.__dict__.copy()
@@ -570,21 +578,29 @@ class CrawlEngine:
         # scheduling row is derived from the written delta, so the
         # robots-parse UDF runs exactly once per new host per crawl and
         # bodies never enter the broadcast scheduling table.
-        new_hosts = self._robots_for_new_hosts(frontier, host_state)
         from pyspark.sql import Observation
 
-        hosts_obs = Observation()
-        new_delta = self.cat.append_delta(
-            "host_robots",
-            new_hosts.observe(hosts_obs, F.count(F.lit(1)).alias("n")),
-        )
-        # observed on the delta write itself — no separate count job
-        st.total_hosts += int(hosts_obs.get["n"])
-        host_state = host_state.unionByName(
-            new_delta.select("host", "delay", "priority").withColumn(
-                "ever_popped", F.lit(False)
+        if st.pending_new_hosts == 0:
+            # the committed frontier was observed to contain zero rows
+            # with unadmitted hosts — admission is provably a no-op;
+            # skip its anti-join + robots-parse UDF + delta write
+            # (steady-state rounds discover no new hosts, so this
+            # removes one fixed-cost job batch per round)
+            pass
+        else:
+            new_hosts = self._robots_for_new_hosts(frontier, host_state)
+            hosts_obs = Observation()
+            new_delta = self.cat.append_delta(
+                "host_robots",
+                new_hosts.observe(hosts_obs, F.count(F.lit(1)).alias("n")),
             )
-        )
+            # observed on the delta write itself — no separate count job
+            st.total_hosts += int(hosts_obs.get["n"])
+            host_state = host_state.unionByName(
+                new_delta.select("host", "delay", "priority").withColumn(
+                    "ever_popped", F.lit(False)
+                )
+            )
 
         # ---- J2 + W1/W3 scheduling -------------------------------------
         # note: no global clock jump here — a skipped pop must not
@@ -715,28 +731,31 @@ class CrawlEngine:
             sel = sel.withColumn(
                 "attempt_ts", start_h + consumed_before * F.col("delay")
             )
-        sel = checkpoint(sel)  # reused ≥3× below
+        # round scalars (the old locked counters, WorkersPipeline.py:
+        # 24-26) ride the sel checkpoint as an Observation — zero
+        # dedicated jobs (observe metrics are collected by the
+        # localCheckpoint materialization itself; verified eager)
+        _SCALAR_AGGS = lambda: (  # noqa: E731 — one-liner per call site
+            F.count(F.lit(1)).alias("n_att"),
+            F.sum(F.col("fetched").cast("int")).alias("n_fet"),
+            F.min("priority").alias("min_popped"),
+            F.max(
+                F.when(
+                    F.col("should_access"),
+                    F.col("attempt_ts") + F.col("delay"),
+                )
+            ).alias("max_requeue"),
+            F.max(
+                F.when(F.col("should_access"), F.col("attempt_ts"))
+            ).alias("max_fetch_ts"),
+        )
+        from pyspark.sql import Observation as _Obs
+
+        sel_obs = _Obs()
+        sel = checkpoint(sel.observe(sel_obs, *_SCALAR_AGGS()))  # reused ≥3×
         _tt = self._t('sel ckpt', _tt)
 
-        # one combined scalar agg per round (the old locked counters,
-        # WorkersPipeline.py:24-26) — a single job instead of four
-        def _scalars(df):
-            return df.agg(
-                F.count("*").alias("n_att"),
-                F.sum(F.col("fetched").cast("int")).alias("n_fet"),
-                F.min("priority").alias("min_popped"),
-                F.max(
-                    F.when(
-                        F.col("should_access"),
-                        F.col("attempt_ts") + F.col("delay"),
-                    )
-                ).alias("max_requeue"),
-                F.max(
-                    F.when(F.col("should_access"), F.col("attempt_ts"))
-                ).alias("max_fetch_ts"),
-            ).first()
-
-        scal = _scalars(sel)
+        scal = sel_obs.get
         _tt = self._t('scalars', _tt)
         n_fetched_round = scal["n_fet"] or 0
 
@@ -749,11 +768,14 @@ class CrawlEngine:
             remaining = cfg.limit - st.total_fetched
             order_cols = ["attempt_ts", "priority", "host", "rn_host"]
             tagged = attach_prefix_count(sel, order_cols, "fetched", "_cumf")
+            trunc_obs = _Obs()
             sel = checkpoint(
-                tagged.filter(F.col("_cumf") < F.lit(remaining)).drop("_cumf")
+                tagged.filter(F.col("_cumf") < F.lit(remaining))
+                .drop("_cumf")
+                .observe(trunc_obs, *_SCALAR_AGGS())
             )
             free(tagged._prefix_ckpt)
-            scal = _scalars(sel)
+            scal = trunc_obs.get
             n_fetched_round = scal["n_fet"] or 0
             truncated = True
 
@@ -873,9 +895,27 @@ class CrawlEngine:
         # checkpoint job (every input leaf is already a parquet delta
         # or a cached checkpoint block)
 
-        new_frontier = remaining_frontier.unionByName(
-            new_links.drop("parent_ts")
-        ).repartition("bucket")
+        # tag rows by whether their host is already admitted: only
+        # new_links can carry unadmitted hosts (every host present in a
+        # frontier is admitted in that round), and the count rides the
+        # frontier write's existing Observation so next round can skip
+        # the admission jobs when it is zero. Same size-gated join
+        # shape the admission itself would run — moved, not added.
+        known_hosts = host_state.select("host").withColumn(
+            "_known", F.lit(True)
+        )
+        nl_tagged = self._wave_join(
+            new_links.drop("parent_ts"),
+            known_hosts,
+            "host",
+            "left",
+            st.total_hosts,
+        )
+        new_frontier = (
+            remaining_frontier.withColumn("_known", F.lit(True))
+            .unionByName(nl_tagged)
+            .repartition("bucket")
+        )
 
         # ---- host_state priority updates (W2 re-queue + revive) --------
         host_updates = sel.groupBy("host").agg(
@@ -990,8 +1030,12 @@ class CrawlEngine:
         # so both writes run concurrently from driver threads
         front_obs = Observation()
         new_frontier = new_frontier.observe(
-            front_obs, F.count(F.lit(1)).alias("n")
-        )
+            front_obs,
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("_known").isNull(), 1).otherwise(0)
+            ).alias("new_host_rows"),
+        ).drop("_known")
         jobs = [
             lambda: self.cat.overwrite("host_state", host_state2),
             lambda: self.cat.overwrite("frontier", new_frontier),
@@ -1001,7 +1045,9 @@ class CrawlEngine:
         _join_jobs(*jobs)
         # next round's D4 quiescence check reads this instead of
         # running an isEmpty() job against the frontier snapshot
-        st.frontier_rows = int(front_obs.get["n"])
+        _fo = front_obs.get
+        st.frontier_rows = int(_fo["n"])
+        st.pending_new_hosts = int(_fo["new_host_rows"] or 0)
         _tt = self._t('host_state || frontier || metrics', _tt)
         # free this round's checkpoint caches (iterative loops leak
         # cached RDD blocks otherwise — OOM after ~50 rounds)
