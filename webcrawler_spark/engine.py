@@ -260,6 +260,7 @@ class CrawlEngine:
             .filter(F.col("url").endswith("/robots.txt"))
         )
         self._robots_side = None  # materialized lazily, once per session
+        self._robots_side_thread = None  # background materialization (init overlap)
 
     # ------------------------------------------------------------------
     # setup / resume
@@ -431,6 +432,9 @@ class CrawlEngine:
 
     def init_from_seeds(self, seeds: DataFrame) -> None:
         """S1/D1: seeds (url, seed_order) → round-0 frontier."""
+        # overlap the corpus-side robots scan with the seed write: both
+        # feed round 1, and neither depends on the other
+        self._start_robots_side_async()
         fr = (
             seeds.select(
                 normalize_url_udf("url").alias("url"),
@@ -469,6 +473,53 @@ class CrawlEngine:
     # ------------------------------------------------------------------
     # robots for newly-discovered hosts (S2, lazy per host)
     # ------------------------------------------------------------------
+    def _materialize_robots_side(self) -> None:
+        self._robots_side = checkpoint(
+            self.pages_robots.select(
+                F.expr(
+                    "substring(url, 1, length(url) - length('/robots.txt'))"
+                ).alias("host"),
+                F.col("html").alias("robots_html"),
+                F.col("status").alias("robots_status"),
+            )
+        )
+
+    def _ensure_robots_side(self) -> None:
+        """Join the background materialization if one is in flight;
+        otherwise materialize inline. A failed background attempt falls
+        back to the inline path (robots_side is still None then)."""
+        t = self._robots_side_thread
+        if t is not None:
+            t.join()
+            self._robots_side_thread = None
+        if self._robots_side is None:
+            self._materialize_robots_side()
+
+    def _start_robots_side_async(self) -> None:
+        """Kick the robots side-table scan off on a driver thread so it
+        overlaps init's seed-frontier write. The scan depends only on
+        the corpus, not on seeds or crawl state, and round 1's S2
+        admission is its first consumer — without the overlap its full
+        wall sits on the round-1 critical path (measured 4-7 s of the
+        11 s round-1 pre-cand at the 640k-page bench corpus). Spark
+        supports concurrent job submission from driver threads; errors
+        are swallowed here and the consumer retries inline."""
+        if self._robots_side is not None or self._robots_side_thread is not None:
+            return
+        import threading
+
+        def _run() -> None:
+            try:
+                self._materialize_robots_side()
+            except Exception:  # consumer retries inline via _ensure
+                self._robots_side = None
+
+        t = threading.Thread(
+            target=_run, name="robots-side-materialize", daemon=True
+        )
+        t.start()
+        self._robots_side_thread = t
+
     def _robots_for_new_hosts(self, frontier: DataFrame, host_state: DataFrame) -> DataFrame:
         new_hosts = (
             frontier.select("host")
@@ -486,16 +537,7 @@ class CrawlEngine:
         # re-scan the html column of the whole corpus. (At 10^10-URL
         # scale this materialization is itself a table — a real
         # deployment maintains a robots table next to the corpus.)
-        if self._robots_side is None:
-            self._robots_side = checkpoint(
-                self.pages_robots.select(
-                    F.expr(
-                        "substring(url, 1, length(url) - length('/robots.txt'))"
-                    ).alias("host"),
-                    F.col("html").alias("robots_html"),
-                    F.col("status").alias("robots_status"),
-                )
-            )
+        self._ensure_robots_side()
         matched = self._robots_side.join(F.broadcast(new_hosts), "host")
         joined = new_hosts.join(F.broadcast(matched), "host", "left")
 
