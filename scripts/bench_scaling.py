@@ -409,6 +409,12 @@ def parent_seq(k_reps: int) -> None:
         "rate_n_all": r2,
         "rate_4n_all": r8,
         "scaling_efficiency_raw": round((med8 / med2) / 4, 3),
+        # best-of-K raw: box weather is one-sided (delivery never
+        # exceeds the quiet box), so each arm's best rep estimates its
+        # quiet-box rate — the max-throughput analog of min-latency
+        # over reps. Robust to weather without the probe's own
+        # co-load-depression bias (see scripts/calibrate_coload.py).
+        "scaling_efficiency_best": round((max(r8) / max(r2)) / 4, 3),
         "runs": runs,
         "config": {
             "hosts": HOSTS,

@@ -101,26 +101,51 @@ def measure(coload_cores: tuple[int, ...], secs: float) -> float:
 
 
 def main() -> None:
-    secs = 60.0
+    """Rapid alternation: [idle, 2core, idle, 8core] x reps with short
+    windows, each co-load window ratioed against the MEAN of its two
+    adjacent idle windows, median over reps. The box's CPU-delivery
+    weather swings +/-12% on a minutes timescale (measured: back-to-
+    back 60 s idle windows read 1659/1346/1624 parses/s), so a single
+    long co-load window cannot be compared to a single idle window —
+    pairing each short co-load window with its immediate neighbors
+    cancels drift slower than ~2 windows."""
+    import statistics
+
+    secs = 15.0
     if "--secs" in sys.argv:
         secs = float(sys.argv[sys.argv.index("--secs") + 1])
-    # interleave idle measurements around the co-load ones so slow
-    # weather drift cannot masquerade as a depression factor
-    r_idle_a = measure((), secs)
-    r_2 = measure((0, 1), secs)
-    r_idle_b = measure((), secs)
-    r_8 = measure(tuple(range(8)), secs)
-    r_idle_c = measure((), secs)
-    r_idle = (r_idle_a + r_idle_b + r_idle_c) / 3
+    reps = 6
+    if "--reps" in sys.argv:
+        reps = int(sys.argv[sys.argv.index("--reps") + 1])
+    seq: list[dict] = []
+    f2s, f8s = [], []
+    prev_idle = measure((), secs)
+    seq.append({"load": "idle", "rate": round(prev_idle, 1)})
+    for rep in range(reps):
+        r2 = measure((0, 1), secs)
+        mid_idle = measure((), secs)
+        r8 = measure(tuple(range(8)), secs)
+        next_idle = measure((), secs)
+        f2s.append(r2 / ((prev_idle + mid_idle) / 2))
+        f8s.append(r8 / ((mid_idle + next_idle) / 2))
+        seq += [
+            {"load": "2core", "rate": round(r2, 1)},
+            {"load": "idle", "rate": round(mid_idle, 1)},
+            {"load": "8core", "rate": round(r8, 1)},
+            {"load": "idle", "rate": round(next_idle, 1)},
+        ]
+        prev_idle = next_idle
+    f2, f8 = statistics.median(f2s), statistics.median(f8s)
     out = {
         "probe_cores": list(PROBE_CORES),
         "secs_per_window": secs,
-        "probe_idle": [round(r, 1) for r in (r_idle_a, r_idle_b, r_idle_c)],
-        "probe_with_2core_coload": round(r_2, 1),
-        "probe_with_8core_coload": round(r_8, 1),
-        "f2": round(r_2 / r_idle, 4),
-        "f8": round(r_8 / r_idle, 4),
-        "relative_bias_8_vs_2": round((r_2 / r_idle) / (r_8 / r_idle), 4),
+        "reps": reps,
+        "f2": round(f2, 4),
+        "f8": round(f8, 4),
+        "f2_all": [round(x, 4) for x in f2s],
+        "f8_all": [round(x, 4) for x in f8s],
+        "relative_bias_8_vs_2": round(f2 / f8, 4),
+        "windows": seq,
     }
     print(json.dumps(out))
 
