@@ -706,8 +706,12 @@ class CrawlEngine:
         # The corpus never shuffles — at 10^10 pages a per-round
         # sort-merge of the pages table would dwarf everything else.
         _tt = self._t('pre-cand', _tt)
-        cand = checkpoint(cand)
-        n_cand = cand.count()  # cached blocks — cheap; drives the O13 gates
+        # the wave size drives the O13 gates; it rides the checkpoint
+        # materialization as an Observation instead of a count() job
+        # over the cached blocks (one fewer job barrier per round)
+        cand_obs = Observation()
+        cand = checkpoint(cand.observe(cand_obs, F.count(F.lit(1)).alias("n")))
+        n_cand = int(cand_obs.get["n"])
         _tt = self._t('cand ckpt', _tt)
         # F2 inputs: robots bodies for THIS WAVE's hosts only — joined
         # from the append-only host_robots table, never broadcast
@@ -859,16 +863,88 @@ class CrawlEngine:
             "url", "host", "bucket", "fetched", F.lit(st.round).alias("round"),
             "attempt_ts", "discovered_seq",
         )
-        # the page write and the seen append both read only the
-        # checkpointed `sel` blocks — submit them from two driver
-        # threads so the small seen write rides along with the big
-        # fetch+parse scan instead of serializing after it
-        fetched_rows, seen = _join_jobs(
+
+        # ---- host_state priority updates (W2 re-queue + revive) --------
+        # depends only on the checkpointed `sel` + the old host_state
+        # dirs, so in scale mode its overwrite (and the metrics append)
+        # joins the pages∥seen job batch below and its wall clock is
+        # absorbed by the big fetch+parse scan. Parity mode needs the
+        # revive collect, which reads this round's new links (i.e. the
+        # written pages delta), so there it stays after the batch.
+        host_updates = sel.groupBy("host").agg(
+            F.max(
+                F.when(
+                    F.col("should_access"),
+                    F.col("attempt_ts") + F.col("delay"),
+                )
+            ).alias("requeue_ts"),
+            F.count("*").alias("attempted"),
+            F.sum(F.col("fetched").cast("int")).alias("n_fetched"),
+        )
+
+        def _host_state2(revived_rows: list) -> DataFrame:
+            # size-gated like every wave join: host_updates has one row
+            # per host attempted this round (bounded by n_att), which
+            # exceeds broadcast limits on a 10^7-host round
+            hs2 = self._wave_join(
+                host_state, host_updates, "host", "left", int(scal["n_att"] or 0)
+            )
+            if revived_rows:
+                revived_df = self.spark.createDataFrame(
+                    revived_rows, "host string, revive_ts double"
+                )
+                hs2 = hs2.join(F.broadcast(revived_df), "host", "left")
+            else:
+                hs2 = hs2.withColumn("revive_ts", F.lit(None).cast("double"))
+            return hs2.select(
+                "host", "delay",
+                F.coalesce("revive_ts", "requeue_ts", "priority").alias("priority"),
+                (F.col("ever_popped") | F.col("attempted").isNotNull()).alias(
+                    "ever_popped"
+                ),
+            ).coalesce(self.cfg.n_buckets)
+            # ^ the union-with-new-hosts otherwise grows the table's
+            # partition count every round (checkpoint preserves
+            # partitions, so N rounds would mean ~4N near-empty tasks
+            # per stage)
+
+        # ---- metrics (S7 + lineage) ------------------------------------
+        metrics_df = None
+        if cfg.collect_metrics:
+            metrics_df = host_updates.select(
+                F.lit(st.round).alias("round"),
+                "host",
+                "attempted",
+                F.coalesce("n_fetched", F.lit(0)).alias("fetched"),
+                (
+                    F.col("attempted") - F.coalesce("n_fetched", F.lit(0))
+                ).alias("skipped"),
+                F.spark_partition_id().alias("part_id"),
+            )
+
+        # the page write, the seen append, and (scale mode) the
+        # host_state overwrite + metrics append all read only the
+        # checkpointed `sel` blocks and old snapshot dirs — submit them
+        # from driver threads so the small bookkeeping writes ride
+        # along with the big fetch+parse scan instead of serializing
+        # after it (replaced dirs stay readable until commit_round)
+        batch = [
             lambda: self.cat.append_delta(
                 "pages_fetched", fetched_full, cfg.records_per_file
             ),
             lambda: self.cat.append("seen", attempts),
-        )
+        ]
+        host_state_written = False
+        if cfg.hosts_per_round is None:
+            batch.append(
+                lambda: self.cat.overwrite("host_state", _host_state2([]))
+            )
+            if metrics_df is not None:
+                _mdf = metrics_df
+                batch.append(lambda: self.cat.append("metrics", _mdf))
+            host_state_written = True
+        results = _join_jobs(*batch)
+        fetched_rows, seen = results[0], results[1]
         _tt = self._t('fetch+parse+write || seen append', _tt)
 
         # ---- new links → frontier (P7/P8 → A5 → J1) --------------------
@@ -959,18 +1035,6 @@ class CrawlEngine:
             .repartition("bucket")
         )
 
-        # ---- host_state priority updates (W2 re-queue + revive) --------
-        host_updates = sel.groupBy("host").agg(
-            F.max(
-                F.when(
-                    F.col("should_access"),
-                    F.col("attempt_ts") + F.col("delay"),
-                )
-            ).alias("requeue_ts"),
-            F.count("*").alias("attempted"),
-            F.sum(F.col("fetched").cast("int")).alias("n_fetched"),
-        )
-
         # revive: a known idle host (off the queue: previously popped,
         # empty FIFO) receiving new links is re-scheduled at
         # first-arrival + delay (Worker.py:127-134)
@@ -996,47 +1060,6 @@ class CrawlEngine:
             _tt = self._t('revived collect', _tt)
         else:
             revived_rows = []
-
-        # size-gated like every wave join: host_updates has one row per
-        # host attempted this round (bounded by n_att), which exceeds
-        # broadcast limits on a 10^7-host round
-        host_state2 = self._wave_join(
-            host_state, host_updates, "host", "left", int(scal["n_att"] or 0)
-        )
-        if revived_rows:
-            revived_df = self.spark.createDataFrame(
-                revived_rows, "host string, revive_ts double"
-            )
-            host_state2 = host_state2.join(F.broadcast(revived_df), "host", "left")
-        else:
-            host_state2 = host_state2.withColumn(
-                "revive_ts", F.lit(None).cast("double")
-            )
-        host_state2 = host_state2.select(
-            "host", "delay",
-            F.coalesce("revive_ts", "requeue_ts", "priority").alias("priority"),
-            (F.col("ever_popped") | F.col("attempted").isNotNull()).alias(
-                "ever_popped"
-            ),
-        ).coalesce(self.cfg.n_buckets)
-        # ^ the union-with-new-hosts otherwise grows the table's
-        # partition count every round (checkpoint preserves partitions,
-        # so N rounds would mean ~4N near-empty tasks per stage)
-
-        # ---- metrics (S7 + lineage) ------------------------------------
-        # the write itself joins the end-of-round parallel job batch
-        metrics_df = None
-        if cfg.collect_metrics:
-            metrics_df = host_updates.select(
-                F.lit(st.round).alias("round"),
-                "host",
-                "attempted",
-                F.coalesce("n_fetched", F.lit(0)).alias("fetched"),
-                (
-                    F.col("attempted") - F.coalesce("n_fetched", F.lit(0))
-                ).alias("skipped"),
-                F.spark_partition_id().alias("part_id"),
-            )
 
         # ---- driver-scalar updates (the old locked globals) ------------
         min_popped = scal["min_popped"]
@@ -1065,11 +1088,14 @@ class CrawlEngine:
         st.total_fetched += n_fetched_round
         st.total_attempted += int(n_attempted)
 
-        # the two snapshot overwrites are independent (host_state2 reads
-        # only the old host_state dirs + checkpointed sel blocks;
-        # new_frontier reads the old frontier dirs + parquet deltas) and
-        # the catalog defers reclaiming replaced dirs until commit_round,
-        # so both writes run concurrently from driver threads
+        # scale mode already wrote host_state/metrics inside the fetch
+        # batch; parity mode writes them here (the revive collect above
+        # needed this round's new links first). The overwrites are
+        # independent (host_state2 reads only the old host_state dirs +
+        # checkpointed sel blocks; new_frontier reads the old frontier
+        # dirs + parquet deltas) and the catalog defers reclaiming
+        # replaced dirs until commit_round, so they run concurrently
+        # from driver threads.
         front_obs = Observation()
         new_frontier = new_frontier.observe(
             front_obs,
@@ -1078,12 +1104,15 @@ class CrawlEngine:
                 F.when(F.col("_known").isNull(), 1).otherwise(0)
             ).alias("new_host_rows"),
         ).drop("_known")
-        jobs = [
-            lambda: self.cat.overwrite("host_state", host_state2),
-            lambda: self.cat.overwrite("frontier", new_frontier),
-        ]
-        if metrics_df is not None:
-            jobs.append(lambda: self.cat.append("metrics", metrics_df))
+        jobs = [lambda: self.cat.overwrite("frontier", new_frontier)]
+        if not host_state_written:
+            jobs.append(
+                lambda: self.cat.overwrite(
+                    "host_state", _host_state2(revived_rows)
+                )
+            )
+            if metrics_df is not None:
+                jobs.append(lambda: self.cat.append("metrics", metrics_df))
         _join_jobs(*jobs)
         # next round's D4 quiescence check reads this instead of
         # running an isEmpty() job against the frontier snapshot
