@@ -121,3 +121,76 @@ def test_urllib3_transport_pickles_without_pool():
     tr2 = pickle.loads(pickle.dumps(tr))
     assert tr2.connect_timeout == 1.5 and tr2.read_timeout == 2.5
     assert tr2._pool is None
+
+
+# ---------------------------------------------------------------------
+# Real sockets: Urllib3Transport against a loopback HTTP server. The
+# sandbox has no external egress, but 127.0.0.1 is a real network path
+# through the real urllib3 PoolManager — this pins the live client's
+# contract (WebAccesser.py:35-100): status/content-type/body pass-
+# through, browser UA header, and error/timeout -> None parity.
+# ---------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def loopback_server():
+    import http.server
+    import threading
+    import time as _time
+
+    seen_headers = {}
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):  # keep pytest output clean
+            pass
+
+        def _serve(self, send_body: bool):
+            seen_headers[self.path] = dict(self.headers)
+            if self.path == "/slow":
+                _time.sleep(3.0)  # > read_timeout in the test below
+            if self.path == "/missing":
+                self.send_response(404)
+                self.send_header("Content-Type", "text/plain")
+                self.end_headers()
+                return
+            body = b"<html><title>loop</title><body>hi</body></html>"
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            if send_body:
+                self.wfile.write(body)
+
+        def do_GET(self):
+            self._serve(send_body=True)
+
+        def do_HEAD(self):
+            self._serve(send_body=False)
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}", seen_headers
+    srv.shutdown()
+
+
+def test_urllib3_real_head_get_loopback(loopback_server):
+    base, seen_headers = loopback_server
+    tr = Urllib3Transport(connect_timeout=2.0, read_timeout=2.0)
+    assert tr.head(f"{base}/page") == (200, "text/html; charset=utf-8")
+    status, ctype, body = tr.get(f"{base}/page")
+    assert status == 200 and "text/html" in ctype
+    assert body == b"<html><title>loop</title><body>hi</body></html>"
+    # non-2xx passes through (the engine's F4 gate decides, not the client)
+    assert tr.head(f"{base}/missing")[0] == 404
+    # browser-like UA reaches the wire (WebAccesser.py:11)
+    assert seen_headers["/page"]["User-Agent"] == Urllib3Transport.UA
+
+
+def test_urllib3_real_timeout_and_refused(loopback_server):
+    base, _ = loopback_server
+    tr = Urllib3Transport(connect_timeout=0.5, read_timeout=0.5)
+    assert tr.get(f"{base}/slow") is None          # read timeout -> None
+    # connection refused (nothing listens on the adjacent port) -> None
+    import urllib.parse
+
+    port = urllib.parse.urlsplit(base).port
+    assert tr.head(f"http://127.0.0.1:{port ^ 1}/x") is None

@@ -84,9 +84,11 @@ class Urllib3Transport:
     (WebAccesser.py:11). The pool is created lazily in each executor
     process (PoolManager is not picklable; only the config ships).
 
-    Not exercisable in this sandbox (no network egress) — covered by
-    the FakeTransport e2e parity test, which drives the identical
-    executor code path.
+    No external egress exists in this sandbox, but the client itself
+    is real-socket-tested against a loopback HTTP server
+    (tests/test_live_fetch.py: status/content-type/body pass-through,
+    UA on the wire, timeout/refused -> None), and the executor code
+    path it plugs into is byte-exact-tested via FakeTransport.
     """
 
     UA = (
