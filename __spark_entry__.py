@@ -1037,6 +1037,71 @@ def _q_pack_greedy(spark, sf):
     )
 
 
+def _q_hll_registers(spark, sf):
+    """Per-event_type HyperLogLog register table over user_id — the
+    mergeable distinct-count sketch (pure-integer artifact, oracle
+    bit-for-bit)."""
+    from webcrawler_spark.operators.sketches import hll_registers
+
+    ev = spark.read.parquet(f"{sf}/events.parquet").select(
+        "event_type", F.col("user_id").cast("string").alias("uid")
+    )
+    return hll_registers(ev, "uid", key="event_type")
+
+
+def _q_hll_estimate(spark, sf):
+    """HLL cardinality estimate vs exact COUNT(DISTINCT) per
+    event_type — shows the sketch's error stays inside its bound
+    without shuffling a single user_id."""
+    from webcrawler_spark.operators.sketches import hll_estimate, hll_registers
+
+    ev = spark.read.parquet(f"{sf}/events.parquet").select(
+        "event_type", F.col("user_id").cast("string").alias("uid")
+    )
+    est = hll_estimate(hll_registers(ev, "uid", key="event_type"), key="event_type")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("uid").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type", "n_hit", "exact_distinct", "estimate"
+    )
+
+
+def _q_cms_registers(spark, sf):
+    """Count-Min register table over document words: depth x width
+    integer counters; map-side partials cap the shuffle at the sketch
+    size."""
+    from webcrawler_spark.operators.sketches import cms_registers
+
+    words = _docs(spark, sf).select(
+        F.explode(F.split("text", " ")).alias("w")
+    )
+    return cms_registers(words, "w")
+
+
+def _q_cms_topk_est(spark, sf):
+    """CMS point-queries for the exact top-20 words: estimate >= exact
+    always (one-sided error); integer columns, exact oracle."""
+    from webcrawler_spark.operators.sketches import cms_lookup, cms_registers
+
+    words = _docs(spark, sf).select(
+        F.explode(F.split("text", " ")).alias("w")
+    )
+    regs = cms_registers(words, "w")
+    exact = words.groupBy("w").agg(F.count("*").alias("exact_cnt"))
+    probes = exact.orderBy(F.desc("exact_cnt"), "w").limit(20)
+    return (
+        cms_lookup(regs, probes.select("w"), "w")
+        .join(probes, "w")
+        .select(
+            "w",
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
+        )
+    )
+
+
 def _tuned(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
     """Apply runtime perf confs (JIT-compilable codegen limit etc.) to
     the harness-owned session before building the query — execution
@@ -1108,6 +1173,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_rowsonly": _q_multimodal_rowsonly,
         "warc_roundtrip": _q_warc_roundtrip,
         "stateful_schedule": _q_stateful_schedule,
+        "hll_registers": _q_hll_registers,
+        "hll_estimate": _q_hll_estimate,
+        "cms_registers": _q_cms_registers,
+        "cms_topk_est": _q_cms_topk_est,
         "crawl_rowsonly": _q_crawl_rowsonly,
     }
     return {name: _tuned(fn) for name, fn in q.items()}
@@ -1986,6 +2055,95 @@ def oracle_sql() -> dict[str, str]:
               from ord o join sched s on o.host = s.host and o.rn = s.rn + 1)
             select host, url, arrival_ts, round(attempt_ts, 6) as attempt_ts
             from sched
+        """,
+        # HLL/CMS sketches share the md5-prefix 32-bit hash family, so
+        # every register is reproduced bit-for-bit; the estimate's
+        # harmonic sum is a sum of exact powers of two (order-safe) and
+        # 47072.71267120224 is repr(0.7213/(1+1.079/256)*65536), the
+        # same double Spark uses (sketches._ALPHA_MM_256)
+        "hll_registers": """
+            with h as (
+              select event_type,
+                     cast(('0x' || substr(md5('hll' || '|' ||
+                       cast(user_id as varchar)), 1, 8))::UBIGINT as bigint)
+                       as hv
+              from events),
+            r as (
+              select event_type, hv % 256 as bucket,
+                     case when hv // 256 = 0 then 25
+                          else cast(log2((hv // 256) & -(hv // 256)) as int)
+                               + 1 end as rho
+              from h)
+            select event_type, bucket, max(rho) as rho
+            from r group by event_type, bucket
+        """,
+        "hll_estimate": """
+            with h as (
+              select event_type,
+                     cast(('0x' || substr(md5('hll' || '|' ||
+                       cast(user_id as varchar)), 1, 8))::UBIGINT as bigint)
+                       as hv
+              from events),
+            r as (
+              select event_type, hv % 256 as bucket,
+                     case when hv // 256 = 0 then 25
+                          else cast(log2((hv // 256) & -(hv // 256)) as int)
+                               + 1 end as rho
+              from h),
+            regs as (select event_type, bucket, max(rho) as rho
+                     from r group by event_type, bucket),
+            agg as (select event_type, count(*) as n_hit,
+                           sum(power(2.0, -rho)) as s
+                    from regs group by event_type),
+            est as (select event_type, n_hit,
+                           256.0 - cast(n_hit as double) as v,
+                           47072.71267120224 /
+                             (s + (256.0 - cast(n_hit as double))) as raw
+                    from agg),
+            x as (select event_type,
+                         count(distinct cast(user_id as varchar))
+                           as exact_distinct
+                  from events group by event_type)
+            select e.event_type, e.n_hit, x.exact_distinct,
+                   round(case when e.raw <= 640.0 and e.v > 0
+                              then 256.0 * ln(256.0 / e.v)
+                              else e.raw end, 4) as estimate
+            from est e join x using (event_type)
+        """,
+        "cms_registers": """
+            with words as (select unnest(string_split(text, ' ')) as w
+                           from documents),
+            cells as (
+              select r, cast(('0x' || substr(md5('cms' ||
+                       cast(r as varchar) || '|' || w), 1, 8))::UBIGINT % 256
+                       as bigint) as c
+              from words cross join (values (0),(1),(2),(3)) t(r))
+            select r, c, count(*) as cnt from cells group by r, c
+        """,
+        "cms_topk_est": """
+            with words as (select unnest(string_split(text, ' ')) as w
+                           from documents),
+            exact as (select w, count(*) as exact_cnt
+                      from words group by w),
+            probes as (select w, exact_cnt from exact
+                       order by exact_cnt desc, w limit 20),
+            cells as (
+              select r, c, count(*) as cnt from (
+                select r, cast(('0x' || substr(md5('cms' ||
+                         cast(r as varchar) || '|' || w), 1, 8))::UBIGINT
+                         % 256 as bigint) as c
+                from words cross join (values (0),(1),(2),(3)) t(r))
+              group by r, c),
+            pc as (
+              select p.w, p.exact_cnt, t.r,
+                     cast(('0x' || substr(md5('cms' ||
+                       cast(t.r as varchar) || '|' || p.w), 1, 8))::UBIGINT
+                       % 256 as bigint) as c
+              from probes p cross join (values (0),(1),(2),(3)) t(r))
+            select w, exact_cnt, cms_est, cms_est - exact_cnt as overcount
+            from (select pc.w, pc.exact_cnt, min(cells.cnt) as cms_est
+                  from pc join cells using (r, c)
+                  group by pc.w, pc.exact_cnt)
         """,
         "robots_gate": """
             with u as (

@@ -58,6 +58,8 @@ BENCH_QUERIES = [
     "anchor_topk",
     "quality_mixture",
     "tfidf_top_terms",
+    "hll_estimate",
+    "cms_topk_est",
     "embedding_near_dup",
     "politeness_schedule",
     "sessionize",
