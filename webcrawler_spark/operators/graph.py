@@ -60,15 +60,18 @@ def _canon(edges: DataFrame) -> DataFrame:
     )
 
 
-def _edge_checksum(edges: DataFrame) -> tuple[int, int]:
+def _edge_checksum(edges: DataFrame, canonical: bool = False) -> tuple[int, int]:
     """(count, order-independent hash-sum) of the canonical edge set.
 
-    One action per iteration; used as the convergence predicate.
+    The convergence predicate. ``canonical=True`` skips the
+    re-canonicalization shuffle when the input is already a distinct
+    (u, v) v<u set — true for every ``_small_star`` output — so the
+    checksum is a single scan + scalar aggregate.
     """
     # bit_xor, not sum: order-independent, cannot overflow under ANSI
-    # mode, and sound as a set checksum because _canon edges are distinct
+    # mode, and sound as a set checksum because the edges are distinct
     row = (
-        _canon(edges)
+        (edges if canonical else _canon(edges))
         .select(F.xxhash64(F.col("u").cast("string"), F.col("v").cast("string")).alias("h"))
         .agg(F.count("*").alias("n"), F.coalesce(F.expr("bit_xor(h)"), F.lit(0)).alias("h"))
         .first()
@@ -129,7 +132,7 @@ def connected_components(
 
     held: DataFrame | None = None
 
-    def _materialize(df: DataFrame, it: int) -> DataFrame:
+    def _materialize(df: DataFrame, it: int) -> tuple[DataFrame, tuple[int, int]]:
         # localCheckpoint, not persist: the loop state must have its
         # LOGICAL PLAN truncated each round, or Catalyst re-analyzes a
         # tree that grows by two joins + two aggregates per iteration
@@ -138,21 +141,27 @@ def connected_components(
         # measured 8× slower with persist() on the sandbox. The
         # pessimistic LogicalRDD stats are harmless here: star rounds
         # join on node id and neither side should broadcast anyway.
+        #
+        # The checkpoint is LAZY and the round's convergence checksum
+        # is the action that materializes it, so "truncate lineage"
+        # and "test convergence" cost ONE job per round, not two.
         nonlocal held
         if checkpoint_dir is not None:
             path = os.path.join(checkpoint_dir, f"cc_{it}")
             df.write.mode("overwrite").parquet(path)
-            return spark.read.parquet(path)
-        out = sparkutil.checkpoint(df)
+            out = spark.read.parquet(path)
+            return out, _edge_checksum(out, canonical=True)
+        out = sparkutil.checkpoint_lazy(df)
+        cs = _edge_checksum(out, canonical=True)
+        sparkutil.seal(out)
         sparkutil.free(held)
         held = out
-        return out
+        return out, cs
 
     # materialize the input ONCE: edges often arrive as an expensive
     # upstream plan (e.g. the LSH→Jaccard pipeline) that must not be
     # recomputed by every star round + checksum action
-    work = _materialize(work, -1)
-    prev = _edge_checksum(work)
+    work, prev = _materialize(work, -1)
     if prev[0] == 0:
         sparkutil.free(held)
         schema_node = edges.schema[src].dataType
@@ -160,10 +169,13 @@ def connected_components(
 
     converged = False
     for it in range(max_iter):
+        # _small_star output is a distinct (u, v) v<u set, so the
+        # checksum can skip the re-canonicalization shuffle
         work = _small_star(_large_star(work))
         if (it + 1) % checkpoint_every == 0:
-            work = _materialize(work, it)
-        cur = _edge_checksum(work)
+            work, cur = _materialize(work, it)
+        else:
+            cur = _edge_checksum(work, canonical=True)
         if cur == prev:
             converged = True
             break

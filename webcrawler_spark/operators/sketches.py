@@ -19,9 +19,10 @@ every register bit-for-bit; production swaps in native xxhash64 for
 JVM-codegen hashing (no md5 string round-trip) — registers then
 differ from the oracle family but all laws are hash-agnostic.
 
-Reference parity: the reference keeps exact per-host crawled counts
-(Host.py:74-94 `crawled_num`); these sketches are the approximate tier
-that replaces exact distinct-counting where it stops being affordable.
+Reference parity: the reference keeps an exact per-host crawled set
+(Host.py:17, 136-145 `_crawledResources`, one Python set per host);
+these sketches are the approximate tier that replaces exact
+distinct-counting where exact sets stop being affordable.
 Algorithms: Flajolet-Fusy-Gandouet-Meunier 2007 (HyperLogLog, incl.
 the small-range linear-counting correction), Cormode-Muthukrishnan
 2005 (Count-Min).

@@ -33,6 +33,28 @@ def checkpoint(df: DataFrame) -> DataFrame:
     return out
 
 
+def checkpoint_lazy(df: DataFrame) -> DataFrame:
+    """Lazy localCheckpoint: lineage truncates on the caller's NEXT
+    action over the result, letting a loop fuse "materialize state"
+    and "compute the round's scalar" (e.g. a convergence checksum)
+    into ONE job instead of two. Call :func:`seal` after that action
+    so :func:`free` can release the cached blocks later."""
+    spark = df.sparkSession
+    out = df.localCheckpoint(eager=False)
+    out._ckpt_before_ids = _persistent_rdd_ids(spark)  # type: ignore[attr-defined]
+    return out
+
+
+def seal(df: DataFrame) -> None:
+    """Record the RDD ids a :func:`checkpoint_lazy` materialized (must
+    run after the action that computed it)."""
+    before = getattr(df, "_ckpt_before_ids", None)
+    if before is None:
+        return
+    df._ckpt_rdd_ids = _persistent_rdd_ids(df.sparkSession) - before  # type: ignore[attr-defined]
+    df._ckpt_before_ids = None  # type: ignore[attr-defined]
+
+
 def free(df: DataFrame | None) -> None:
     """Release the cached blocks of a :func:`checkpoint` result."""
     if df is None:
