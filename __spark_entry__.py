@@ -325,6 +325,21 @@ def _q_jaccard_pairs(spark, sf):
     return jaccard_pairs(_docs(spark, sf), threshold=0.2)
 
 
+def _q_incremental_dedup(spark, sf):
+    """Batch-vs-store incremental dedup: even doc_ids play the already-
+    ingested corpus (only their *signatures* are handed over — the
+    store a real pipeline persists), odd doc_ids are the new batch.
+    Matches are strictly new×store; no new×new or store×store pairs."""
+    from webcrawler_spark.operators.dedup import (
+        incremental_lsh_matches,
+        minhash_signatures,
+    )
+
+    docs = _docs(spark, sf)
+    store = minhash_signatures(docs.filter(F.col("doc_id") % 2 == 0))
+    return incremental_lsh_matches(docs.filter(F.col("doc_id") % 2 == 1), store)
+
+
 def _q_near_dup_pipeline(spark, sf):
     """Composed dedup: LSH candidates → Jaccard verify on the candidate
     pair set only (no shingle self-join anywhere in the plan)."""
@@ -1133,6 +1148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": _q_exact_dedup,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "jaccard_pairs": _q_jaccard_pairs,
+        "incremental_dedup": _q_incremental_dedup,
         "near_dup_pipeline": _q_near_dup_pipeline,
         "duplicate_clusters": _q_duplicate_clusters,
         "host_pagerank": _q_host_pagerank,
@@ -1381,6 +1397,19 @@ def oracle_sql() -> dict[str, str]:
             select distinct l.doc_id as a, r.doc_id as b
             from sig l join sig r using (band_id, band_min)
             where l.doc_id < r.doc_id
+        """,
+        "incremental_dedup": f"""
+            with {_SHINGLES_CTE},
+            sig as (
+              select doc_id, b.band_id,
+                     min(md5(b.band_id || '|' || shingle)) as band_min
+              from sh cross join
+                   (select unnest(['0','1','2','3']) as band_id) b
+              group by doc_id, b.band_id
+            )
+            select distinct n.doc_id as new_id, c.doc_id as corpus_id
+            from sig n join sig c using (band_id, band_min)
+            where n.doc_id % 2 = 1 and c.doc_id % 2 = 0
         """,
         "jaccard_pairs": f"""
             with {_SHINGLES_CTE},

@@ -70,6 +70,30 @@ def test_near_duplicate_pairs_composed(docs):
     assert (0, 1) in composed
 
 
+def test_incremental_dedup_batch_vs_store(docs):
+    """Incremental new×store matches == the batch LSH pair set
+    restricted to cross-parity pairs; the drop/append step keeps
+    exactly the non-colliding new docs and emits their signatures."""
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    store = dedup.minhash_signatures(corpus)
+
+    got = {(r["new_id"], r["corpus_id"]) for r in
+           dedup.incremental_lsh_matches(batch, store).collect()}
+    full = {(r["a"], r["b"]) for r in dedup.lsh_candidate_pairs(docs).collect()}
+    want = {(n, c) for a, b in full for n, c in ((a, b), (b, a))
+            if n % 2 == 1 and c % 2 == 0}
+    assert got == want
+    assert (3, 0) in got  # exact dup of corpus doc 0, caught incrementally
+
+    kept, kept_sigs = dedup.incremental_dedup_batch(batch, store)
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert kept_ids == {1, 3, 5} - {n for n, _ in got}
+    sig_ids = {r["doc_id"] for r in
+               kept_sigs.select("doc_id").distinct().collect()}
+    assert sig_ids == kept_ids
+
+
 def test_simhash_hamming(docs):
     pairs = {(r["a"], r["b"]): r["hamming"] for r in
              dedup.simhash_near_pairs(docs, max_hamming=6).collect()}

@@ -494,3 +494,81 @@ def duplicated_ngrams(
             .alias("dup_gram_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup (batch vs. persisted signature store)
+# ---------------------------------------------------------------------------
+
+
+def incremental_lsh_matches(
+    new_df: DataFrame,
+    store_sigs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """(new_id, corpus_id) pairs: new-batch docs that LSH-collide with
+    the persisted corpus signature store.
+
+    This is the form a continuously-growing corpus actually dedups: the
+    pipeline stores only ``minhash_signatures`` rows
+    (doc_id, band_id, band_min — a few dozen bytes/doc) per ingested
+    batch, and each new batch joins its freshly computed signatures
+    against the store. The corpus *text* is never re-read or
+    re-shingled, and the join is strictly new×store on
+    (band_id, band_min) — no new×new and no store×store pairs ever
+    materialize, so per-round cost is O(|batch|) + one bucket join
+    regardless of corpus size. Mirrors the crawl's own URL-seen
+    anti-join (engine.py J1) at the document-content level; reference
+    parity: the same "skip what the corpus already has" semantics the
+    reference's seen-set enforces for URLs (Host.py:190-194), lifted
+    to near-duplicate page content.
+
+    Scale notes (100 TB corpus, per-batch):
+    * signature computation touches only the new batch (one shuffle);
+    * the store side is pre-bucketed by (band_id, band_min) — written
+      bucketed/partitioned on that key, the join is co-located and
+      only the buckets the batch actually hits are scanned;
+    * output is candidate pairs; pipe through the ``near_duplicate_
+      pairs`` verification join when exact Jaccard is required (needs
+      shingles, i.e. only the *batch* side's text).
+    """
+    new_sigs = minhash_signatures(new_df, id_col, text_col, n, bands)
+    left = new_sigs.select(
+        F.col(id_col).alias("new_id"), "band_id", "band_min"
+    )
+    right = store_sigs.select(
+        F.col(id_col).alias("corpus_id"), "band_id", "band_min"
+    )
+    return (
+        left.join(right, ["band_id", "band_min"])
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+
+
+def incremental_dedup_batch(
+    new_df: DataFrame,
+    store_sigs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    bands: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """(kept_new_docs, kept_new_sigs): drop new-batch docs that collide
+    with the store; return the survivors' signatures for appending.
+
+    The append keeps the store an exact union of every kept batch's
+    signatures, so the next round's ``incremental_lsh_matches`` sees
+    all prior survivors. Anti-join on the match set — one extra
+    shuffle on id beyond the bucket join.
+    """
+    matches = incremental_lsh_matches(
+        new_df, store_sigs, id_col, text_col, n, bands
+    )
+    dropped = matches.select(F.col("new_id").alias(id_col)).distinct()
+    kept = new_df.join(dropped, id_col, "left_anti")
+    kept_sigs = minhash_signatures(kept, id_col, text_col, n, bands)
+    return kept, kept_sigs
