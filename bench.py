@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "fifo_first_event",
     "exact_dedup",
     "minhash_lsh_pairs",
+    "incremental_dedup",
     "simhash",
     "text_quality",
     "cosine_topk",
