@@ -94,6 +94,49 @@ def test_incremental_dedup_batch_vs_store(docs):
     assert sig_ids == kept_ids
 
 
+def test_incremental_dedup_rounds_match_greedy_replay(spark):
+    """Iterating incremental_dedup_batch over ordered ingest rounds ==
+    a greedy sequential dedup (drop a doc iff it LSH-collides with a
+    survivor of an EARLIER round; within-round pairs are by design not
+    dropped). The python replay below is the spec; the operator chain
+    with a growing signature store must reproduce it exactly."""
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .cache()
+    )
+    pair_set = {(r["a"], r["b"]) for r in dedup.lsh_candidate_pairs(docs).collect()}
+    collides = {}
+    for a, b in pair_set:
+        collides.setdefault(a, set()).add(b)
+        collides.setdefault(b, set()).add(a)
+
+    batches = [docs.filter(F.col("doc_id") % 3 == k) for k in range(3)]
+    batch_ids = [
+        {r["doc_id"] for r in b.select("doc_id").collect()} for b in batches
+    ]
+
+    # spec: greedy replay over the full pair set
+    kept_spec: set = set()
+    for ids in batch_ids:
+        survivors = {
+            i for i in ids if not (collides.get(i, set()) & kept_spec)
+        }
+        kept_spec |= survivors
+
+    # operator chain: store grows by each round's survivor signatures
+    store = dedup.minhash_signatures(batches[0]).limit(0)
+    kept_ops: set = set()
+    for b in batches:
+        kept, kept_sigs = dedup.incremental_dedup_batch(b, store)
+        kept_ops |= {r["doc_id"] for r in kept.select("doc_id").collect()}
+        store = store.unionByName(kept_sigs)
+
+    assert kept_ops == kept_spec
+    assert kept_ops != set()  # non-degenerate: something survives
+    assert kept_spec != batch_ids[0] | batch_ids[1] | batch_ids[2]  # and something drops
+
+
 def test_simhash_hamming(docs):
     pairs = {(r["a"], r["b"]): r["hamming"] for r in
              dedup.simhash_near_pairs(docs, max_hamming=6).collect()}

@@ -28,6 +28,7 @@ AUDITED = [
     "near_dup_pipeline",
     "embedding_near_dup",
     "minhash_lsh_pairs",
+    "incremental_dedup",
     "simhash_near_pairs",
     "budget_landing",
     "politeness_schedule",

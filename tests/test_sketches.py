@@ -112,3 +112,29 @@ def test_cms_lookup_upper_bounds_exact(spark, items):
     assert len(got) == 20
     for r in got:
         assert r["cms_est"] >= r["exact_cnt"]  # one-sided overcount
+
+
+def test_cms_lookup_unseen_probe_reads_zero(spark):
+    """CMS semantics for never-seen items: any untouched register cell
+    reads 0, so the min is 0 — the lookup's left join must not drop
+    absent cells (an inner join would min over touched cells only)."""
+    import hashlib
+
+    def h32(salt, v):
+        return int(hashlib.md5(f"{salt}|{v}".encode()).hexdigest()[:8], 16)
+
+    def cells(v):
+        return {(r, h32(f"cms{r}", v) % 256) for r in range(4)}
+
+    corpus = ["a", "b", "c"]
+    built = set().union(*[cells(v) for v in corpus])
+    probe = next(
+        f"probe{i}" for i in range(1000) if not (cells(f"probe{i}") & built)
+    )
+    regs = cms_registers(
+        spark.createDataFrame([(v,) for v in corpus], "k string"), "k"
+    )
+    got = cms_lookup(
+        regs, spark.createDataFrame([(probe,)], "k string"), "k"
+    ).collect()
+    assert len(got) == 1 and got[0]["cms_est"] == 0

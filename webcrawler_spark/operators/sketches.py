@@ -168,13 +168,19 @@ def cms_lookup(
     """Point-query the sketch for each probe item: min over the
     item's ``depth`` registers (the CMS estimate, an upper bound on
     the true count). The register table is at most depth*width rows,
-    so the join side is broadcast."""
+    so the join side is broadcast.
+
+    The join is a LEFT join with absent cells coalesced to 0: a
+    register row the build never touched has count 0, so a probe item
+    with any untouched cell estimates 0 (correct CMS semantics for
+    never-seen items — an inner join would silently take the min over
+    only the touched cells, or drop the item entirely)."""
     cells = probes.select(
         F.col(col),
         F.explode(_cms_cells(F.col(col), depth, width, salt)).alias("rc"),
     ).select(F.col(col), F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
     return (
-        cells.join(F.broadcast(registers), ["r", "c"])
+        cells.join(F.broadcast(registers), ["r", "c"], "left")
         .groupBy(col)
-        .agg(F.min("cnt").alias("cms_est"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
     )
