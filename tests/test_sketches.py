@@ -7,8 +7,10 @@ from pyspark.sql import functions as F
 
 from webcrawler_spark.operators.sketches import (
     cms_lookup,
+    cms_merge,
     cms_registers,
     hll_estimate,
+    hll_merge,
     hll_registers,
 )
 
@@ -28,11 +30,7 @@ def test_hll_merge_is_union_groupby(spark, items):
     whole = hll_registers(items, "k")
     h0 = hll_registers(items.where("half = 0"), "k")
     h1 = hll_registers(items.where("half = 1"), "k")
-    merged = (
-        h0.unionByName(h1)
-        .groupBy("bucket")
-        .agg(F.max("rho").alias("rho"))
-    )
+    merged = hll_merge(h0.unionByName(h1))
     assert sorted(map(tuple, whole.collect())) == sorted(
         map(tuple, merged.collect())
     )
@@ -87,9 +85,7 @@ def test_cms_merge_and_one_sided_error(spark, items):
     whole = cms_registers(items, "k")
     c0 = cms_registers(items.where("half = 0"), "k")
     c1 = cms_registers(items.where("half = 1"), "k")
-    merged = (
-        c0.unionByName(c1).groupBy("r", "c").agg(F.sum("cnt").alias("cnt"))
-    )
+    merged = cms_merge(c0.unionByName(c1))
     assert sorted(map(tuple, whole.collect())) == sorted(
         map(tuple, merged.collect())
     )
@@ -138,3 +134,31 @@ def test_cms_lookup_unseen_probe_reads_zero(spark):
         regs, spark.createDataFrame([(probe,)], "k string"), "k"
     ).collect()
     assert len(got) == 1 and got[0]["cms_est"] == 0
+
+
+def test_hll_native_tier_laws_and_accuracy(spark, items):
+    """Production xxhash64 tier: same merge-is-union-groupBy law and
+    error bound as the oracle tier, with a (64-b)-bit rho word."""
+    whole = hll_registers(items, "k", native_hash=True)
+    h0 = hll_registers(items.where("half = 0"), "k", native_hash=True)
+    h1 = hll_registers(items.where("half = 1"), "k", native_hash=True)
+    merged = hll_merge(h0.unionByName(h1))
+    assert sorted(map(tuple, whole.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
+    rhos = [r["rho"] for r in whole.collect()]
+    assert all(1 <= r <= 64 - 8 + 1 for r in rhos)
+    est = hll_estimate(whole).collect()[0]["estimate"]
+    assert abs(est - 700) / 700 < 0.2  # 3x the 6.5% standard error
+
+
+def test_cms_native_tier_one_sided(spark, items):
+    regs = cms_registers(items, "k", native_hash=True)
+    exact = items.groupBy("k").agg(F.count("*").alias("exact_cnt"))
+    got = (
+        cms_lookup(regs, exact.select("k"), "k", native_hash=True)
+        .join(exact, "k")
+        .collect()
+    )
+    assert len(got) == 700
+    assert all(r["cms_est"] >= r["exact_cnt"] for r in got)

@@ -13,11 +13,18 @@ MAX/SUM of their registers, i.e. one more ``groupBy`` — this is how a
 shuffling a single URL, and how shard sketches built on different days
 union for free (tested in tests/test_sketches.py).
 
-The md5-prefix 32-bit hash family is used (the same trick as
-dedup.py's SimHash oracle tier) so a DuckDB ANSI-SQL oracle reproduces
-every register bit-for-bit; production swaps in native xxhash64 for
-JVM-codegen hashing (no md5 string round-trip) — registers then
-differ from the oracle family but all laws are hash-agnostic.
+Two hash tiers (``native_hash`` flag, same pattern as
+dedup.duplicated_ngrams): the md5-prefix 32-bit family (default) is
+the ORACLE tier — DuckDB reproduces every register bit-for-bit — and
+``native_hash=True`` is the PRODUCTION tier: xxhash64 stays in JVM
+whole-stage codegen (no hex-string round-trip) and, for HLL, widens
+the rho word to 64-b bits. The width matters at frontier scale: a
+32-bit hash space saturates a cardinality sketch around ~4·10^9
+distinct keys (every register pinned at rho_max), so a 10^10-URL
+frontier NEEDS the 64-bit tier; the md5 tier exists for the oracle
+and small-corpus parity. All laws (merge = union-groupBy, CMS
+one-sided error, HLL error bound) are hash-agnostic and tested on
+both tiers.
 
 Reference parity: the reference keeps an exact per-host crawled set
 (Host.py:17, 136-145 `_crawledResources`, one Python set per host);
@@ -46,6 +53,12 @@ def _h32(col: Column, salt: str) -> Column:
     ).cast("long")
 
 
+def _h64(col: Column, salt: str) -> Column:
+    """Salted xxhash64 (JVM codegen, full 64-bit space) — the
+    production hash; not reproducible in DuckDB."""
+    return F.xxhash64(F.lit(salt), col)
+
+
 # ---------------------------------------------------------------------------
 # HyperLogLog
 # ---------------------------------------------------------------------------
@@ -57,30 +70,56 @@ def hll_registers(
     key: str | None = None,
     b: int = HLL_B,
     salt: str = "hll",
+    native_hash: bool = False,
 ) -> DataFrame:
     """Per-``key`` HLL register table: (key?, bucket, rho).
 
     bucket = h mod 2^b; rho = 1 + trailing zeros of the remaining
-    (32-b)-bit word (1 + 32-b when the word is 0). Registers whose
+    hash word (1 + word width when the word is 0). Registers whose
     bucket was never hit are simply absent (value 0 by convention);
     the estimator accounts for them. The groupBy MAX is the sketch
     build *and* the merge — unioning two register tables through the
     same groupBy yields the sketch of the unioned inputs.
+
+    ``native_hash=True`` is the production tier: xxhash64 with a
+    (64-b)-bit rho word — required at 10^10-key scale, where the
+    32-bit md5-prefix space itself saturates. Default stays md5 so the
+    DuckDB oracle reproduces the registers.
     """
-    h = _h32(F.col(col), salt)
     m = 1 << b
-    w = F.shiftright(h, b)  # (32-b)-bit word
-    # trailing zeros via log2(w & -w): w & -w isolates the lowest set
-    # bit (an exact power of two, so log2 is exact in a double)
-    rho = (
-        F.when(w == 0, F.lit(32 - b + 1))
-        .otherwise((F.log2(w.bitwiseAND(-w)) + F.lit(1.0)).cast("int"))
-        .alias("rho")
-    )
+    if native_hash:
+        h = _h64(F.col(col), salt)
+        w = F.shiftrightunsigned(h, b)  # (64-b)-bit word, non-negative
+        # trailing zeros exactly, no floats: (w & -w) - 1 has exactly
+        # tz low bits set, so bit_count gives tz
+        rho = (
+            F.when(w == 0, F.lit(64 - b + 1))
+            .otherwise(F.bit_count(w.bitwiseAND(-w) - F.lit(1)) + F.lit(1))
+            .cast("int")
+            .alias("rho")
+        )
+    else:
+        h = _h32(F.col(col), salt)
+        w = F.shiftright(h, b)  # (32-b)-bit word
+        # trailing zeros via log2(w & -w): w & -w isolates the lowest
+        # set bit (an exact power of two, so log2 is exact in a double)
+        rho = (
+            F.when(w == 0, F.lit(32 - b + 1))
+            .otherwise((F.log2(w.bitwiseAND(-w)) + F.lit(1.0)).cast("int"))
+            .alias("rho")
+        )
     keys = [F.col(key)] if key else []
     rows = df.select(*keys, F.pmod(h, F.lit(m)).alias("bucket"), rho)
     gb = ([key] if key else []) + ["bucket"]
     return rows.groupBy(*gb).agg(F.max("rho").alias("rho"))
+
+
+def hll_merge(registers: DataFrame, key: str | None = None) -> DataFrame:
+    """Merge register tables (e.g. shard sketches built on different
+    days, unioned): element-wise MAX per (key?, bucket). Output feeds
+    ``hll_estimate`` like any single-build table."""
+    gb = ([key] if key else []) + ["bucket"]
+    return registers.groupBy(*gb).agg(F.max("rho").alias("rho"))
 
 
 # alpha_m * m^2 for m = 256, embedded as one decimal literal so Spark
@@ -121,13 +160,16 @@ def hll_estimate(
 # ---------------------------------------------------------------------------
 
 
-def _cms_cells(col: Column, depth: int, width: int, salt: str) -> Column:
+def _cms_cells(
+    col: Column, depth: int, width: int, salt: str, native_hash: bool = False
+) -> Column:
     """array<struct<r,c>> of the item's register coordinates."""
+    hf = _h64 if native_hash else _h32
     return F.array(
         *[
             F.struct(
                 F.lit(r).alias("r"),
-                F.pmod(_h32(col, f"{salt}{r}"), F.lit(width)).alias("c"),
+                F.pmod(hf(col, f"{salt}{r}"), F.lit(width)).alias("c"),
             )
             for r in range(depth)
         ]
@@ -140,6 +182,7 @@ def cms_registers(
     depth: int = CMS_DEPTH,
     width: int = CMS_WIDTH,
     salt: str = "cms",
+    native_hash: bool = False,
 ) -> DataFrame:
     """Count-Min register table (r, c, cnt) over ``items[col]``.
 
@@ -147,14 +190,25 @@ def cms_registers(
     map-side partial collapses each task's contribution to at most
     ``depth * width`` rows before the shuffle — the network cost is
     the sketch size, not the corpus size. Merging shard sketches is
-    the same groupBy with SUM.
+    the same groupBy with SUM. ``native_hash=True`` selects the
+    xxhash64 production family (lookups must pass the same flag).
     """
     rows = items.select(
-        F.explode(_cms_cells(F.col(col), depth, width, salt)).alias("rc")
+        F.explode(
+            _cms_cells(F.col(col), depth, width, salt, native_hash)
+        ).alias("rc")
     )
     return rows.groupBy(
         F.col("rc.r").alias("r"), F.col("rc.c").alias("c")
     ).agg(F.count("*").alias("cnt"))
+
+
+def cms_merge(registers: DataFrame) -> DataFrame:
+    """Merge CMS register tables (union of shard sketches): element-
+    wise SUM per (r, c). Estimates over the merged table bound the
+    summed true counts — the property that lets per-day sketches
+    answer all-time frequency queries without reprocessing."""
+    return registers.groupBy("r", "c").agg(F.sum("cnt").alias("cnt"))
 
 
 def cms_lookup(
@@ -164,6 +218,7 @@ def cms_lookup(
     depth: int = CMS_DEPTH,
     width: int = CMS_WIDTH,
     salt: str = "cms",
+    native_hash: bool = False,
 ) -> DataFrame:
     """Point-query the sketch for each probe item: min over the
     item's ``depth`` registers (the CMS estimate, an upper bound on
@@ -177,7 +232,9 @@ def cms_lookup(
     only the touched cells, or drop the item entirely)."""
     cells = probes.select(
         F.col(col),
-        F.explode(_cms_cells(F.col(col), depth, width, salt)).alias("rc"),
+        F.explode(
+            _cms_cells(F.col(col), depth, width, salt, native_hash)
+        ).alias("rc"),
     ).select(F.col(col), F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
     return (
         cells.join(F.broadcast(registers), ["r", "c"], "left")
