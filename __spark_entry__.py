@@ -411,6 +411,32 @@ def _q_ngram_contamination(spark, sf):
     return ngram_contamination(cand, bench, n=5)
 
 
+def _q_contamination_matches(spark, sf):
+    """Decontamination attribution (which eval example leaked into
+    which doc): per-(doc, bench) distinct shared 13-grams, GPT-3's
+    gram width. Bench = docs with doc_id % 5 == 0; the bench gram
+    table keeps bench_id and broadcasts."""
+    from webcrawler_spark.operators.cleaning import contamination_matches
+
+    d = _docs(spark, sf)
+    bench = d.filter(F.col("doc_id") % 5 == 0)
+    cand = d.filter(F.col("doc_id") % 5 != 0)
+    return contamination_matches(cand, bench, n=13)
+
+
+def _q_decontaminate(spark, sf):
+    """GPT-3-style document-level removal: the corpus minus every doc
+    sharing a 13-gram with the benchmark subset (doc_id % 5 == 0).
+    Flagged ids come from a semi-join against the broadcast bench gram
+    set; the kept rows are the anti-join."""
+    from webcrawler_spark.operators.cleaning import decontaminate
+
+    d = _docs(spark, sf)
+    bench = d.filter(F.col("doc_id") % 5 == 0)
+    cand = d.filter(F.col("doc_id") % 5 != 0)
+    return decontaminate(cand, bench, n=13).select("doc_id", "text")
+
+
 def _q_duplicate_clusters(spark, sf):
     """Near-dup pairs chained into clusters: LSH→Jaccard pairs fed to
     large-star/small-star connected components; every doc gets a
@@ -1156,6 +1182,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_dedup": _q_segment_dedup,
         "repetition_stats": _q_repetition_stats,
         "ngram_contamination": _q_ngram_contamination,
+        "contamination_matches": _q_contamination_matches,
+        "decontaminate": _q_decontaminate,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "unigram_logprob": _q_unigram_logprob,
         "duplicated_ngrams": _q_duplicated_ngrams,
@@ -1852,6 +1880,41 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(h.n_contaminated, 0) > 0 as contaminated
             from documents d left join hits h on h.doc_id = d.doc_id
             where d.doc_id % 50 <> 0
+        """,
+        "contamination_matches": """
+            with w as (select doc_id, string_split(lower(text), ' ') as w
+                       from documents),
+            g as (select doc_id, unnest(list_distinct(
+                    case when len(w) < 13 then []::VARCHAR[]
+                         else list_transform(generate_series(1, len(w) - 12),
+                           i -> array_to_string(list_slice(w, i, i + 12), ' '))
+                    end)) as gram
+                  from w),
+            bg as (select doc_id as bench_id, gram from g
+                   where doc_id % 5 = 0),
+            cg as (select doc_id, gram from g where doc_id % 5 <> 0)
+            select cg.doc_id, bg.bench_id,
+                   count(*)::BIGINT as shared_grams
+            from cg join bg using (gram)
+            group by 1, 2
+        """,
+        "decontaminate": """
+            with w as (select doc_id, string_split(lower(text), ' ') as w
+                       from documents),
+            g as (select doc_id, unnest(list_distinct(
+                    case when len(w) < 13 then []::VARCHAR[]
+                         else list_transform(generate_series(1, len(w) - 12),
+                           i -> array_to_string(list_slice(w, i, i + 12), ' '))
+                    end)) as gram
+                  from w),
+            bench as (select distinct gram from g where doc_id % 5 = 0),
+            flagged as (select distinct doc_id from g
+                        join bench using (gram)
+                        where doc_id % 5 <> 0)
+            select d.doc_id, d.text
+            from documents d
+            where d.doc_id % 5 <> 0
+              and d.doc_id not in (select doc_id from flagged)
         """,
         "warc_roundtrip": f"""
             select {_URL_SQL} as url,

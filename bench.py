@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "segment_dedup",
     "repetition_stats",
     "ngram_contamination",
+    "decontaminate",
     "unigram_logprob",
     "duplicated_ngrams",
     "mixture_sample",

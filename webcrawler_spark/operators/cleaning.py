@@ -217,21 +217,7 @@ def ngram_contamination(
     """
 
     def gram_table(df: DataFrame, out_id: str) -> DataFrame:
-        words = words_col(F.lower(F.col(text_col)))
-        n_g = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
-        grams = F.when(n_g < 1, F.array().cast("array<string>")).otherwise(
-            F.transform(
-                F.sequence(F.lit(1), n_g),
-                lambda i: F.array_join(F.slice(words, i, n), " "),
-            )
-        )
-        g = df.select(
-            F.col(id_col).alias(out_id),
-            F.explode(F.array_distinct(grams)).alias("gram"),
-        )
-        if hashed:
-            g = g.withColumn("gram", F.xxhash64("gram"))
-        return g
+        return _contamination_gram_table(df, out_id, n, text_col, id_col, hashed)
 
     bench_grams = gram_table(benchmark, "_bid").select("gram").distinct()
     if broadcast_bench:
@@ -251,6 +237,109 @@ def ngram_contamination(
         )
         .withColumn("contaminated", F.col("n_contaminated") > 0)
     )
+
+
+def _contamination_gram_table(
+    df: DataFrame,
+    out_id: str,
+    n: int,
+    text_col: str,
+    id_col: str,
+    hashed: bool,
+) -> DataFrame:
+    """(id, gram) rows: each document's DISTINCT lowercased word
+    n-grams, exploded. Shared by the contamination family so the flag,
+    attribution, and removal passes agree on gram semantics."""
+    words = words_col(F.lower(F.col(text_col)))
+    n_g = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
+    grams = F.when(n_g < 1, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n_g),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        )
+    )
+    g = df.select(
+        F.col(id_col).alias(out_id),
+        F.explode(F.array_distinct(grams)).alias("gram"),
+    )
+    if hashed:
+        g = g.withColumn("gram", F.xxhash64("gram"))
+    return g
+
+
+def contamination_matches(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_id_col: str = "bench_id",
+    hashed: bool = False,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """Per-(document, benchmark-example) attribution: (doc_id,
+    bench_id, shared_grams) for every corpus document sharing ≥ 1
+    exact n-gram with a specific benchmark example.
+
+    ``ngram_contamination`` answers "how contaminated is this doc";
+    this answers "*which* eval example leaked into it" — what a
+    pipeline needs to report per-benchmark leak rates or split a doc
+    around the leaked span. ``shared_grams`` counts distinct shared
+    grams (both sides gram-deduplicated), so it is symmetric and
+    insensitive to in-document repetition.
+
+    Scale shape: identical to ``ngram_contamination`` except the
+    benchmark side keeps (bench_id, gram) pairs instead of collapsing
+    to the gram set — still benchmark-sized, still broadcast; the
+    corpus side explodes once and aggregates on (doc, bench). Zero
+    corpus shuffles with ``broadcast_bench=True``.
+    """
+    bg = _contamination_gram_table(
+        benchmark, bench_id_col, n, text_col, id_col, hashed
+    )
+    if broadcast_bench:
+        bg = F.broadcast(bg)
+    cg = _contamination_gram_table(docs, id_col, n, text_col, id_col, hashed)
+    return (
+        cg.join(bg, "gram")
+        .groupBy(id_col, bench_id_col)
+        .agg(F.count("*").alias("shared_grams"))
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hashed: bool = False,
+    broadcast_bench: bool = True,
+) -> DataFrame:
+    """The corpus minus every contaminated document — GPT-3's
+    document-level removal (Brown et al. 2020, Appendix C dropped docs
+    overlapping eval data by a 13-gram; PaLM §6 likewise).
+
+    Plan: corpus grams left-semi-join the (broadcast) benchmark gram
+    set → distinct flagged ids (tiny: at most the contaminated-doc
+    count) → broadcast left-anti join back against the corpus. The
+    corpus is scanned twice (gram pass + anti join) but never
+    shuffled; at 100 TB the second scan prunes to (id_col) only.
+    """
+    bench_grams = (
+        _contamination_gram_table(benchmark, "_bid", n, text_col, id_col, hashed)
+        .select("gram")
+        .distinct()
+    )
+    if broadcast_bench:
+        bench_grams = F.broadcast(bench_grams)
+    flagged = (
+        _contamination_gram_table(docs, id_col, n, text_col, id_col, hashed)
+        .join(bench_grams, "gram", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return docs.join(F.broadcast(flagged), id_col, "left_anti")
 
 
 def dedup_text_segments(
