@@ -3,9 +3,13 @@
 Reference CLI (main.py:15): ``python3 main.py -s SEEDS -n LIMIT [-d]``.
 Rebuild:
 
-    spark-submit --py-files webcrawler_spark.zip -m webcrawler_spark.main \
+    spark-submit --py-files webcrawler_spark.zip webcrawler_spark/main.py \
         --seeds seeds.txt --pages /data/pages_parquet --limit 100000 \
         --catalog /data/crawl_catalog [--resume] [--debug]
+
+(spark-submit takes the driver as a file path, not ``-m``; this file
+is self-contained as a driver — tests/test_submit_cli.py runs exactly
+this invocation with the package importable only from the zip.)
 
 ``--pages`` points at the offline web table (input_hint schema); the
 catalog dir holds the resumable snapshots. ``--debug`` prints the
