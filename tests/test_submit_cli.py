@@ -60,7 +60,7 @@ def test_spark_submit_py_files_crawl(spark, tmp_path):
             "--pages", pages_dir,
             "--catalog", str(catalog),
             "--limit", "30",
-            "--max-rounds", "8",
+            "--max-rounds", "1",
         ],
         capture_output=True,
         text=True,
@@ -69,7 +69,34 @@ def test_spark_submit_py_files_crawl(spark, tmp_path):
         timeout=420,
     )
     assert out.returncode == 0, out.stderr[-3000:]
-    # budget law: the run lands exactly on the limit
-    assert "crawled 30 pages" in out.stdout, out.stdout[-2000:]
-    # resumable snapshots were committed under the catalog root
+    # interrupted below budget (2 rounds); snapshots committed
+    assert "crawled " in out.stdout, out.stdout[-2000:]
+    assert "crawled 30 pages" not in out.stdout
     assert catalog.is_dir() and any(catalog.iterdir())
+
+    # resume leg: a fresh driver process restores the frontier, seen
+    # set, and per-host budgets from the catalog snapshots (no --seeds)
+    # and finishes the SAME crawl exactly on the budget
+    out2 = subprocess.run(
+        [
+            "spark-submit",
+            "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=4",
+            "--conf", "spark.ui.enabled=false",
+            "--py-files", zip_path,
+            driver,
+            "--resume",
+            "--pages", pages_dir,
+            "--catalog", str(catalog),
+            "--limit", "30",
+            "--max-rounds", "8",
+        ],
+        capture_output=True,
+        text=True,
+        cwd=str(tmp_path),
+        env=env,
+        timeout=420,
+    )
+    assert out2.returncode == 0, out2.stderr[-3000:]
+    # budget law across the interruption: lands exactly on the limit
+    assert "crawled 30 pages" in out2.stdout, out2.stdout[-2000:]
