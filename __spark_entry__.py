@@ -545,6 +545,20 @@ def _q_embedding_near_dup(spark, sf):
     return embedding_near_dup_pairs(emb, threshold=0.4, n_planes=6)
 
 
+def _q_semantic_dedup(spark, sf):
+    """SemDeDup (Abbas et al. 2023): cosine-threshold pair graph →
+    connected components → one keeper per semantic group. Exact tier
+    (n_clusters=1, every pair considered) so DuckDB can replay it
+    bit-for-bit; the k-means-clustered scale tier (pairwise work
+    bounded per cluster) is law-checked in tests/test_semdedup.py."""
+    from webcrawler_spark.operators.semdedup import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").withColumn(
+        "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    )
+    return semantic_dedup(emb, threshold=0.4, n_clusters=1)
+
+
 def _q_ivf_ann(spark, sf):
     """IVF ANN, full probe (n_probe == k centroids): exercises the real
     train→assign→probe machinery while degenerating to the exact scan,
@@ -965,6 +979,31 @@ def _q_source_report(spark, sf):
     )
 
 
+def _q_dsir_weights(spark, sf):
+    """DSIR importance weights (Xie et al. 2023): raw docs scored by
+    log p̂_target/q̂_raw under hashed unigram+bigram LMs (target slice
+    = source 'src0'). Explode → two B-row model aggregates →
+    broadcast ratio join → per-doc agg; no window, no self-join."""
+    from webcrawler_spark.operators.dsir import dsir_logweights
+
+    return dsir_logweights(
+        _docs(spark, sf), is_target=F.col("source") == "src0", n_buckets=64
+    )
+
+
+def _q_dsir_topk(spark, sf):
+    """DSIR resampling: Gumbel top-k over the importance weights with
+    md5(doc_id)-derived noise — the selected set is bit-reproducible
+    across engines and cluster sizes; orderBy+limit compiles to
+    TakeOrderedAndProject (per-partition top-k, no global sort)."""
+    from webcrawler_spark.operators.dsir import dsir_logweights, dsir_sample
+
+    w = dsir_logweights(
+        _docs(spark, sf), is_target=F.col("source") == "src0", n_buckets=64
+    )
+    return dsir_sample(w, k=50)
+
+
 def _q_redact_pii(spark, sf):
     """PII scrub (email / IPv4 / phone regex redaction with per-
     category audit counts) over documents with deterministically
@@ -1189,6 +1228,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicated_ngrams": _q_duplicated_ngrams,
         "mixture_sample": _q_mixture_sample,
         "source_report": _q_source_report,
+        "dsir_weights": _q_dsir_weights,
+        "dsir_topk": _q_dsir_topk,
         "pack_chunks": _q_pack_chunks,
         "pack_greedy": _q_pack_greedy,
         "redact_pii": _q_redact_pii,
@@ -1202,6 +1243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fp": _q_winnow_fp,
         "cosine_topk": _q_cosine_topk,
         "embedding_near_dup": _q_embedding_near_dup,
+        "semantic_dedup": _q_semantic_dedup,
         "robots_gate": _q_robots_gate,
         "politeness_schedule": _q_politeness_schedule,
         "budget_landing": _q_budget_landing,
@@ -1248,6 +1290,41 @@ sh as (
 """
 
 _STOPWORDS_SQL = "('the','a','and','of','to','in','is','on','for','with')"
+
+# DSIR (Xie et al. 2023) hashed-n-gram importance weights: target LM
+# from source 'src0' docs, raw LM from the rest; add-1 smoothing over
+# 64 md5-hashed buckets — the exact float op order of operators/dsir.py
+# (per-bucket log ratio computed once in the B-row table, then summed
+# per doc).
+_DSIR_WEIGHTS_SQL = """
+            with ws as (select doc_id, source = 'src0' as t,
+                          string_split(text, ' ') as w
+                        from documents),
+            grams as (
+              select doc_id, t,
+                     unnest(w || case when len(w) >= 2
+                       then list_transform(generate_series(1, len(w) - 1),
+                              i -> w[i] || ' ' || w[i + 1])
+                       else []::VARCHAR[] end) as gram
+              from ws),
+            gb as (select doc_id, t,
+                     cast(('0x' || substring(md5(gram), 1, 8)) as ubigint)
+                       % 64 as bucket
+                   from grams),
+            counts as (select bucket,
+                         sum(case when t then 1 else 0 end) as cp,
+                         sum(case when not t then 1 else 0 end) as cq
+                       from gb group by bucket),
+            tot as (select sum(cp) as np, sum(cq) as nq from counts),
+            ratio as (select bucket,
+                        ln((cp + 1.0) / (np + 64.0))
+                        - ln((cq + 1.0) / (nq + 64.0)) as lr
+                      from counts cross join tot)
+            select doc_id, count(*) as n_grams, round(sum(lr), 6) as logw
+            from gb join ratio using (bucket)
+            where not t
+            group by doc_id
+"""
 
 
 def _pagerank_oracle_sql(n_iter: int = 5) -> str:
@@ -1766,6 +1843,21 @@ def oracle_sql() -> dict[str, str]:
             from documents
             group by source, lang
         """,
+        "dsir_weights": _DSIR_WEIGHTS_SQL,
+        "dsir_topk": f"""
+            with wts as ({_DSIR_WEIGHTS_SQL}),
+            keyed as (
+              select doc_id, n_grams, logw,
+                     round(logw - ln(-ln(
+                       ((('0x' || substring(md5(doc_id::VARCHAR), 1, 8))
+                         ::UBIGINT)::DOUBLE + 1.0) / 4294967296.0)), 6)
+                       as key
+              from wts)
+            select doc_id, n_grams, logw, key,
+                   row_number() over (order by key desc, doc_id) as rank
+            from keyed
+            qualify rank <= 50
+        """,
         "gopher_quality": f"""
             with s as (
               select doc_id,
@@ -2066,6 +2158,27 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(l.v, r.v), 6) as sim
             from be l join be r on l.bucket = r.bucket and l.vec_id < r.vec_id
             where round(list_cosine_similarity(l.v, r.v), 6) >= 0.4
+        """,
+        "semantic_dedup": """
+            with recursive
+            e as (select vec_id, embedding::DOUBLE[] as v from embeddings),
+            pairs as (
+              select l.vec_id as a, r.vec_id as b
+              from e l join e r on l.vec_id < r.vec_id
+              where round(list_cosine_similarity(l.v, r.v), 6) >= 0.4),
+            ed as (select a as u, b as v from pairs
+                   union select b as u, a as v from pairs),
+            reach as (
+              select u as node, u as root from ed
+              union
+              select e2.v as node, r.root from reach r
+              join ed e2 on e2.u = r.node),
+            comp as (select node, min(root) as grp
+                     from reach group by node)
+            select e.vec_id,
+                   coalesce(c.grp, e.vec_id) as group,
+                   e.vec_id = coalesce(c.grp, e.vec_id) as keep
+            from e left join comp c on c.node = e.vec_id
         """,
         "bloom_antijoin": f"""
             with u as (select doc_id, {_URL_SQL} as url from documents)
