@@ -1004,6 +1004,71 @@ def _q_dsir_topk(spark, sf):
     return dsir_sample(w, k=50)
 
 
+def _q_trap_hosts(spark, sf):
+    """Crawler-trap detection (Mercator/IRLbot signal): per-host
+    distinct-URL vs distinct-content ratio, with a deterministic
+    session-id trap host injected (many URLs, one page). One hash
+    aggregate; content digested to md5 before the shuffle."""
+    from webcrawler_spark.operators.traps import trap_host_stats
+
+    d = _docs(spark, sf)
+    normal = d.select(
+        F.col("source").alias("host"), _url_expr().alias("url"), "text"
+    )
+    trap = d.where(F.col("doc_id") % 5 == 0).select(
+        F.lit("traphost").alias("host"),
+        F.concat(
+            F.lit("https://traphost.example/page?sid="),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.lit("same calendar boilerplate").alias("text"),
+    )
+    return trap_host_stats(normal.unionByName(trap))
+
+
+def _q_rank_priority(spark, sf):
+    """Graph-signal frontier prioritization: the host PageRank feeds
+    the frontier's global fetch order (rank desc, url) — top-100 via
+    TakeOrderedAndProject (per-partition top-k, no global sort); the
+    position window runs over the 100 survivors only."""
+    from pyspark.sql import Window
+
+    from webcrawler_spark.operators.graph import pagerank
+
+    docs = _docs(spark, sf).select("doc_id", "source")
+    n_docs = docs.count()
+    partner = docs.select(
+        ((F.col("doc_id") * 31 + 7) % n_docs).alias("pid"),
+        F.col("source").alias("src"),
+    )
+    right = docs.select(F.col("doc_id").alias("pid"), F.col("source").alias("dst"))
+    edges = (
+        partner.join(right, "pid")
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    pr = pagerank(edges, alpha=0.85, n_iter=5).select(
+        F.col("node").alias("host"), F.round("rank", 6).alias("rank")
+    )
+    frontier = _docs(spark, sf).select(
+        _url_expr().alias("url"), F.col("source").alias("host")
+    )
+    top = (
+        frontier.join(F.broadcast(pr), "host")
+        .orderBy(F.desc("rank"), F.col("url"))
+        .limit(100)
+    )
+    return top.select(
+        "url",
+        "host",
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.desc("rank"), F.col("url")))
+        .alias("pos"),
+    )
+
+
 def _q_redact_pii(spark, sf):
     """PII scrub (email / IPv4 / phone regex redaction with per-
     category audit counts) over documents with deterministically
@@ -1230,6 +1295,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_report": _q_source_report,
         "dsir_weights": _q_dsir_weights,
         "dsir_topk": _q_dsir_topk,
+        "trap_hosts": _q_trap_hosts,
+        "rank_priority": _q_rank_priority,
         "pack_chunks": _q_pack_chunks,
         "pack_greedy": _q_pack_greedy,
         "redact_pii": _q_redact_pii,
@@ -1842,6 +1909,35 @@ def oracle_sql() -> dict[str, str]:
                              / count(*), 6) as exact_dup_frac
             from documents
             group by source, lang
+        """,
+        "trap_hosts": f"""
+            with pages as (
+              select source as host, {_URL_SQL} as url, text from documents
+              union all
+              select 'traphost' as host,
+                     'https://traphost.example/page?sid=' || doc_id::VARCHAR
+                       as url,
+                     'same calendar boilerplate' as text
+              from documents where doc_id % 5 = 0)
+            select host,
+                   count(distinct url) as n_urls,
+                   count(distinct md5(text)) as n_contents,
+                   round(1.0 - count(distinct md5(text))
+                             / count(distinct url), 6) as dup_url_frac,
+                   (count(distinct url) >= 10
+                    and 1.0 - count(distinct md5(text))
+                            / count(distinct url) >= 0.5) as is_trap
+            from pages group by host
+        """,
+        "rank_priority": f"""
+            with pr as ({_pagerank_oracle_sql(5)}),
+            u as (select {_URL_SQL} as url, source as host from documents),
+            j as (select u.url, u.host, pr.rank
+                  from u join pr on pr.host = u.host)
+            select url, host, rank,
+                   row_number() over (order by rank desc, url) as pos
+            from j
+            qualify pos <= 100
         """,
         "dsir_weights": _DSIR_WEIGHTS_SQL,
         "dsir_topk": f"""
