@@ -1378,17 +1378,20 @@ _DSIR_WEIGHTS_SQL = """
                      cast(('0x' || substring(md5(gram), 1, 8)) as ubigint)
                        % 64 as bucket
                    from grams),
+            feats as (select doc_id, t, bucket, count(*) as c
+                      from gb group by doc_id, t, bucket),
             counts as (select bucket,
-                         sum(case when t then 1 else 0 end) as cp,
-                         sum(case when not t then 1 else 0 end) as cq
-                       from gb group by bucket),
+                         sum(case when t then c else 0 end) as cp,
+                         sum(case when not t then c else 0 end) as cq
+                       from feats group by bucket),
             tot as (select sum(cp) as np, sum(cq) as nq from counts),
             ratio as (select bucket,
                         ln((cp + 1.0) / (np + 64.0))
                         - ln((cq + 1.0) / (nq + 64.0)) as lr
                       from counts cross join tot)
-            select doc_id, count(*) as n_grams, round(sum(lr), 6) as logw
-            from gb join ratio using (bucket)
+            select doc_id, cast(sum(c) as bigint) as n_grams,
+                   round(sum(c * lr), 6) as logw
+            from feats join ratio using (bucket)
             where not t
             group by doc_id
 """

@@ -63,6 +63,9 @@ BENCH_QUERIES = [
     "hll_estimate",
     "cms_topk_est",
     "embedding_near_dup",
+    "dsir_topk",
+    "trap_hosts",
+    "rank_priority",
     "politeness_schedule",
     "sessionize",
     "tumbling_events",
@@ -156,6 +159,19 @@ def main() -> int:
     t0 = time.time()
     simhash64_near_pairs(docs, max_hamming=3).count()
     timings["simhash64_near_pairs"] = round(time.time() - t0, 3)
+
+    # SemDeDup scale tier (k-means-clustered pairwise; the queries()
+    # entry is the exact n_clusters=1 oracle tier, quadratic by design)
+    from pyspark.sql import functions as F
+
+    from webcrawler_spark.operators.semdedup import semantic_dedup
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").withColumn(
+        "embedding", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    )
+    t0 = time.time()
+    semantic_dedup(emb, threshold=0.4, n_clusters=16).count()
+    timings["semantic_dedup_k16"] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -106,9 +106,18 @@ def dsir_logweights(
     grams = hashed_gram_buckets(
         flagged, n_buckets, id_col=id_col, text_col=text_col, extra_cols=("_t",)
     )
-    counts = grams.groupBy("bucket").agg(
-        F.sum(F.col("_t").cast("bigint")).alias("cp"),
-        F.sum((~F.col("_t")).cast("bigint")).alias("cq"),
+    # featurize once: collapse the occurrence stream to the per-doc
+    # feature vector (doc, bucket, c) — ≤B rows per doc. Map-side
+    # combine does most of the collapse before the shuffle; at corpus
+    # scale this table is what you'd WRITE once (the DSIR paper's
+    # materialized hashed features) so model fit and scoring both read
+    # features, never raw text twice.
+    feats = grams.groupBy(id_col, "_t", "bucket").agg(
+        F.count("*").alias("c")
+    )
+    counts = feats.groupBy("bucket").agg(
+        F.sum(F.when(F.col("_t"), F.col("c")).otherwise(0)).alias("cp"),
+        F.sum(F.when(~F.col("_t"), F.col("c")).otherwise(0)).alias("cq"),
     )
     totals = counts.select(
         F.sum("cp").alias("np"), F.sum("cq").alias("nq")
@@ -122,12 +131,12 @@ def dsir_logweights(
         ).alias("lr"),
     )
     return (
-        grams.where(~F.col("_t"))
+        feats.where(~F.col("_t"))
         .join(F.broadcast(ratio), "bucket")
         .groupBy(id_col)
         .agg(
-            F.count("*").alias("n_grams"),
-            F.round(F.sum("lr"), 6).alias("logw"),
+            F.sum("c").alias("n_grams"),
+            F.round(F.sum(F.col("c") * F.col("lr")), 6).alias("logw"),
         )
     )
 
