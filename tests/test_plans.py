@@ -32,6 +32,8 @@ AUDITED = [
     "simhash_near_pairs",
     "budget_landing",
     "politeness_schedule",
+    "trap_hosts",
+    "rank_priority",
 ]
 
 FORBIDDEN = ["CartesianProduct", "SinglePartition", "SortMergeJoin"]
@@ -112,3 +114,38 @@ def test_prefix_count_plan_is_distributed(spark, full_plans):
         assert r["_cum"] == acc
         acc += r["flag"]
     free(tagged._prefix_ckpt)
+
+
+def test_semdedup_scale_tier_stays_in_cluster(spark, full_plans):
+    """The k>1 SemDeDup tier's pairwise rescoring must be an equi-join
+    on centroid_id — never a cross/nested-loop product over the corpus
+    (the exact n_clusters=1 oracle tier is quadratic BY DESIGN and is
+    excluded here)."""
+    import numpy as np
+
+    from webcrawler_spark.operators.ivf import assign_centroids
+    from webcrawler_spark.operators.semdedup import in_cluster_pairs
+
+    emb = spark.range(200).selectExpr(
+        "id as vec_id",
+        "array(cast(id % 4 as double), cast(1 as double)) as embedding",
+    )
+    cents = np.eye(4, 2) + 0.01
+    pairs = in_cluster_pairs(assign_centroids(emb, cents), 0.9)
+    plan = _plan(pairs)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_dsir_plan_has_no_corpus_scale_killers(spark, entry, full_plans):
+    """DSIR: the only single-partition stage allowed is the 1-row
+    model-totals aggregate; the corpus-sized gram stream must never
+    cross a sort-merge join or cartesian product, and the ratio table
+    must ship broadcast."""
+    q = entry.queries()
+    plan = _plan(q["dsir_weights"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastExchange" in plan
+    # SinglePartition may appear exactly once: the (np, nq) totals row
+    assert plan.count("Exchange SinglePartition") <= 1
