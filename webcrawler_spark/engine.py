@@ -109,6 +109,16 @@ class CrawlConfig:
     # accelerators over the same exact anti-join semantics.
     seen_filter: Optional[str] = None
     salt_n: int = 1                      # O9 two-phase FIFO selection fan
+    # trap filtering (opt-in; default OFF preserves reference-ordering
+    # parity): drop hosts whose fetched content is mostly duplicate —
+    # the Mercator/IRLbot crawler-trap signal (operators/traps.py),
+    # tracked cumulatively via mergeable per-host HLL digest sketches
+    # (operators/sketches.py — 256 registers/host, bounded state at any
+    # crawl length). A flagged host's frontier rows are removed at the
+    # next round's read and never scheduled again.
+    trap_filter: bool = False
+    trap_min_urls: int = 20              # flag only after this many fetches
+    trap_dup_threshold: float = 0.5      # flag when dup fraction ≥ this
     collect_metrics: bool = True         # S7 per-round metrics table
     agent: str = "*"                     # Host.py:9
     # W4 executor: "native" = window-arithmetic virtual clock (codegen,
@@ -236,6 +246,12 @@ _SEEN_SCHEMA = (
     "url string, host string, bucket int, fetched boolean, round int,"
     " attempt_ts double, discovered_seq long"
 )
+# trap-filter state (only written when cfg.trap_filter): per-host HLL
+# registers of content digests (xxhash64 production tier — bucket is a
+# bigint pmod) and per-host fetched counts; both append one small delta
+# per round and are merge-compacted on the compact_seen_every cadence.
+_HOST_DIGESTS_SCHEMA = "host string, bucket bigint, rho int"
+_HOST_FETCH_N_SCHEMA = "host string, n long"
 
 
 class CrawlEngine:
@@ -459,6 +475,14 @@ class CrawlEngine:
         self.cat.register_empty(
             "host_robots", self.spark.createDataFrame([], _HOST_ROBOTS_SCHEMA)
         )
+        # registered even when trap_filter is off (job-free) so a crawl
+        # resumed with the flag toggled finds the tables in the manifest
+        self.cat.register_empty(
+            "host_digests", self.spark.createDataFrame([], _HOST_DIGESTS_SCHEMA)
+        )
+        self.cat.register_empty(
+            "host_fetch_n", self.spark.createDataFrame([], _HOST_FETCH_N_SCHEMA)
+        )
         self.state = CrawlState()
         self.cat.commit_round(-1, self.state.to_json())
 
@@ -519,6 +543,34 @@ class CrawlEngine:
         )
         t.start()
         self._robots_side_thread = t
+
+    def _trap_hosts(self) -> Optional[DataFrame]:
+        """(host) rows currently flagged as crawler traps: at least
+        ``trap_min_urls`` pages fetched and an HLL-estimated distinct-
+        content fraction ≤ 1 − ``trap_dup_threshold`` (the cumulative
+        form of operators/traps.trap_host_stats). Registers merge via
+        one groupBy MAX; the flagged set is host-granular and tiny, so
+        the caller's anti-join rides the usual size-gated wave join."""
+        regs = self.cat.read("host_digests")
+        cnts = self.cat.read("host_fetch_n")
+        if regs is None or cnts is None:
+            return None
+        from webcrawler_spark.operators.sketches import hll_estimate, hll_merge
+
+        cfg = self.cfg
+        est = hll_estimate(hll_merge(regs, key="host"), key="host")
+        tot = cnts.groupBy("host").agg(F.sum("n").alias("n"))
+        return (
+            est.join(tot, "host")
+            .where(
+                (F.col("n") >= F.lit(int(cfg.trap_min_urls)))
+                & (
+                    F.col("estimate") / F.col("n")
+                    <= F.lit(1.0 - cfg.trap_dup_threshold)
+                )
+            )
+            .select("host")
+        )
 
     def _robots_for_new_hosts(self, frontier: DataFrame, host_state: DataFrame) -> DataFrame:
         new_hosts = (
@@ -599,6 +651,17 @@ class CrawlEngine:
         frontier = self.cat.read("frontier")
         host_state = self.cat.read("host_state")
         seen = self.cat.read("seen")
+
+        if cfg.trap_filter:
+            # drop trap hosts' pending URLs at the read: everything
+            # downstream (scheduling, remaining_frontier, the round-end
+            # overwrite) then excludes them permanently, so quiescence
+            # still drains the frontier
+            traps = self._trap_hosts()
+            if traps is not None:
+                frontier = self._wave_join(
+                    frontier, traps, "host", "left_anti", st.total_hosts
+                )
 
         frontier_empty = (
             st.frontier_rows == 0
@@ -947,6 +1010,28 @@ class CrawlEngine:
         fetched_rows, seen = results[0], results[1]
         _tt = self._t('fetch+parse+write || seen append', _tt)
 
+        if cfg.trap_filter:
+            # per-host content-duplication state: one HLL register delta
+            # + one count delta per round, built from the columnar
+            # re-read of the pages delta just written (host + text only;
+            # text is digested to 32 bytes before the sketch shuffle)
+            from webcrawler_spark.operators.sketches import hll_registers
+
+            digests = fetched_rows.select(
+                "host", F.md5(F.col("text")).alias("digest")
+            )
+            self.cat.append(
+                "host_digests",
+                hll_registers(digests, "digest", key="host", native_hash=True),
+            )
+            self.cat.append(
+                "host_fetch_n",
+                digests.groupBy("host").agg(
+                    F.count(F.lit(1)).cast("long").alias("n")
+                ),
+            )
+            _tt = self._t('trap-state append', _tt)
+
         # ---- new links → frontier (P7/P8 → A5 → J1) --------------------
         # columnar delta read: text/title never leave the parquet files
         links = (
@@ -1146,6 +1231,22 @@ class CrawlEngine:
         if compacting:
             self.cat.compact("seen")
             self.cat.compact("host_robots")
+            if cfg.trap_filter:
+                # merge-compact: registers collapse via groupBy MAX,
+                # counts via SUM — state stays ≤ 257 rows/host forever
+                from webcrawler_spark.operators.sketches import hll_merge
+
+                regs = self.cat.read("host_digests")
+                if regs is not None:
+                    self.cat.overwrite(
+                        "host_digests", hll_merge(regs, key="host")
+                    )
+                cnts = self.cat.read("host_fetch_n")
+                if cnts is not None:
+                    self.cat.overwrite(
+                        "host_fetch_n",
+                        cnts.groupBy("host").agg(F.sum("n").alias("n")),
+                    )
         self.cat.commit_round(round_no, st.to_json())
         if compacting and cfg.gc_keep_rounds and self.cat.durable:
             # after the commit so the compacted dirs are referenced by
