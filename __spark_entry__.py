@@ -1004,6 +1004,36 @@ def _q_dsir_topk(spark, sf):
     return dsir_sample(w, k=50)
 
 
+def _q_nb_langid_model(spark, sf):
+    """Trained NB char-trigram language-ID model (Cavnar-Trenkle
+    profile, NB smoothing): fit on the even-doc_id half of documents;
+    the dense (gram, lang, logp) table is vocab-capped to 300 grams so
+    it broadcasts at any corpus size. Fit plan: explode → one hash
+    aggregate; vocab cap is TakeOrderedAndProject."""
+    from webcrawler_spark.operators.langid import fit_nb_langid
+
+    model, _ = fit_nb_langid(
+        _docs(spark, sf).where(F.col("doc_id") % 2 == 0), max_vocab=300
+    )
+    return model.select("gram", "lang", F.round("logp", 6).alias("logp"))
+
+
+def _q_nb_langid(spark, sf):
+    """NB language-ID predictions on the held-out odd-doc_id half:
+    explode → broadcast model join → partial-agg groupBy (doc, lang) →
+    per-doc window over ≤n_langs rows. The corpus never shuffles."""
+    from webcrawler_spark.operators.langid import fit_nb_langid, nb_langid
+
+    d = _docs(spark, sf)
+    model, priors = fit_nb_langid(
+        d.where(F.col("doc_id") % 2 == 0), max_vocab=300
+    )
+    pred = nb_langid(d.where(F.col("doc_id") % 2 == 1), model, priors)
+    return pred.select(
+        "doc_id", "pred_lang", F.round("score", 6).alias("score"), "n_grams"
+    )
+
+
 def _q_trap_hosts(spark, sf):
     """Crawler-trap detection (Mercator/IRLbot signal): per-host
     distinct-URL vs distinct-content ratio, with a deterministic
@@ -1295,6 +1325,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_report": _q_source_report,
         "dsir_weights": _q_dsir_weights,
         "dsir_topk": _q_dsir_topk,
+        "nb_langid_model": _q_nb_langid_model,
+        "nb_langid": _q_nb_langid,
         "trap_hosts": _q_trap_hosts,
         "rank_priority": _q_rank_priority,
         "pack_chunks": _q_pack_chunks,
@@ -1363,6 +1395,37 @@ _STOPWORDS_SQL = "('the','a','and','of','to','in','is','on','for','with')"
 # 64 md5-hashed buckets — the exact float op order of operators/dsir.py
 # (per-bucket log ratio computed once in the B-row table, then summed
 # per doc).
+# NB language-ID model core (UNROUNDED logp — the model query rounds
+# for hashing; the predict query sums the raw values like Spark does).
+# generate_series is inclusive like Spark's sequence; substring counts
+# characters like F.substr, so multibyte grams line up.
+_NB_LANGID_CORE_SQL = """
+            with train as (select text, lang from documents
+                           where doc_id % 2 = 0),
+            grams as (select lang,
+                        unnest(case when length(text) >= 3
+                          then list_transform(
+                            generate_series(1, length(text) - 2),
+                            i -> substring(text, i, 3))
+                          else []::VARCHAR[] end) as gram
+                      from train),
+            counts as (select lang, gram, count(*) as c
+                       from grams group by 1, 2),
+            vocab as (select gram from (
+                        select gram, sum(c) as tot from counts
+                        group by gram order by tot desc, gram limit 300)),
+            langs as (select distinct lang from train),
+            iv as (select gram, lang, c from counts join vocab using (gram)),
+            totals as (select lang, sum(c) as t_l from iv group by lang),
+            vs as (select count(*) as v from vocab)
+            select vocab.gram, langs.lang,
+                   ln((coalesce(c, 0) + 1.0) / (coalesce(t_l, 0) + v)) as logp
+            from vocab cross join langs
+            left join iv on iv.gram = vocab.gram and iv.lang = langs.lang
+            left join totals on totals.lang = langs.lang
+            cross join vs
+"""
+
 _DSIR_WEIGHTS_SQL = """
             with ws as (select doc_id, source = 'src0' as t,
                           string_split(text, ' ') as w
@@ -1941,6 +2004,37 @@ def oracle_sql() -> dict[str, str]:
                    row_number() over (order by rank desc, url) as pos
             from j
             qualify pos <= 100
+        """,
+        "nb_langid_model": f"""
+            with core as ({_NB_LANGID_CORE_SQL})
+            select gram, lang, round(logp, 6) as logp from core
+        """,
+        "nb_langid": f"""
+            with core as ({_NB_LANGID_CORE_SQL}),
+            test as (select doc_id, text from documents
+                     where doc_id % 2 = 1),
+            tg as (select doc_id,
+                     unnest(case when length(text) >= 3
+                       then list_transform(
+                         generate_series(1, length(text) - 2),
+                         i -> substring(text, i, 3))
+                       else []::VARCHAR[] end) as gram
+                   from test),
+            sc as (select doc_id, lang, sum(logp) as ll,
+                          count(*) as n_grams
+                   from tg join core using (gram) group by 1, 2),
+            tr as (select lang from documents where doc_id % 2 = 0),
+            pri as (select lang,
+                           ln(count(*)) - ln((select count(*) from tr))
+                             as logprior
+                    from tr group by lang),
+            fin as (select doc_id, lang, ll + logprior as score, n_grams
+                    from sc join pri using (lang))
+            select doc_id, lang as pred_lang, round(score, 6) as score,
+                   cast(n_grams as bigint) as n_grams
+            from fin
+            qualify row_number() over (partition by doc_id
+                                       order by score desc, lang) = 1
         """,
         "dsir_weights": _DSIR_WEIGHTS_SQL,
         "dsir_topk": f"""

@@ -64,6 +64,8 @@ BENCH_QUERIES = [
     "cms_topk_est",
     "embedding_near_dup",
     "dsir_topk",
+    "nb_langid",
+    "semantic_dedup",
     "trap_hosts",
     "rank_priority",
     "politeness_schedule",

@@ -149,3 +149,16 @@ def test_dsir_plan_has_no_corpus_scale_killers(spark, entry, full_plans):
     assert "BroadcastExchange" in plan
     # SinglePartition may appear exactly once: the (np, nq) totals row
     assert plan.count("Exchange SinglePartition") <= 1
+
+
+def test_nb_langid_plan_broadcasts_model(spark, entry, full_plans):
+    """NB language ID: the model/priors joins on the scoring path must
+    ship broadcast and the corpus gram stream must never cross a
+    sort-merge join. The fit's vocab×langs cross join is deliberate
+    (≤ max_vocab × n_langs rows, both sides capped) and the vocab cap
+    itself must compile to TakeOrderedAndProject, not a global sort."""
+    q = entry.queries()
+    plan = _plan(q["nb_langid"](spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastExchange" in plan
+    assert "TakeOrderedAndProject" in plan
