@@ -469,6 +469,35 @@ def _q_host_pagerank(spark, sf):
     return pr.select(F.col("node").alias("host"), F.round("rank", 6).alias("rank"))
 
 
+def _q_opic_importance(spark, sf):
+    """OPIC (Abiteboul et al. 2003) over the same deterministic host
+    graph as host_pagerank: 5 synchronous cash-flow rounds; importance
+    = (history + cash)/(rounds + 1). The crawl-native frontier signal
+    — accumulated while fetching, no offline convergence wait."""
+    from webcrawler_spark.operators.graph import opic
+
+    docs = _docs(spark, sf).select("doc_id", "source")
+    n_docs = docs.count()
+    partner = docs.select(
+        ((F.col("doc_id") * 31 + 7) % n_docs).alias("pid"),
+        F.col("source").alias("src"),
+    )
+    right = docs.select(F.col("doc_id").alias("pid"), F.col("source").alias("dst"))
+    edges = (
+        partner.join(right, "pid")
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    out = opic(edges, n_iter=5)
+    return out.select(
+        F.col("node").alias("host"),
+        F.round("cash", 6).alias("cash"),
+        F.round("history", 6).alias("history"),
+        F.round("importance", 6).alias("importance"),
+    )
+
+
 def _q_simhash(spark, sf):
     from webcrawler_spark.operators.dedup import simhash
 
@@ -1312,6 +1341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_pipeline": _q_near_dup_pipeline,
         "duplicate_clusters": _q_duplicate_clusters,
         "host_pagerank": _q_host_pagerank,
+        "opic_importance": _q_opic_importance,
         "gopher_quality": _q_gopher_quality,
         "segment_dedup": _q_segment_dedup,
         "repetition_stats": _q_repetition_stats,
@@ -1503,6 +1533,59 @@ def _pagerank_oracle_sql(n_iter: int = 5) -> str:
         )
     parts.append(
         f"select node as host, round(rank, 6) as rank from r{n_iter}"
+    )
+    return "".join(parts)
+
+
+def _opic_oracle_sql(n_iter: int = 5) -> str:
+    """Unrolled synchronous OPIC mirroring graph.opic's exact float op
+    order: hist' = hist + cash; contrib = sum(cash/deg) by dst;
+    cash' = coalesce(contrib, 0) + dangling/n; importance =
+    (hist + cash)/(n_iter + 1). Same deterministic host graph as
+    _pagerank_oracle_sql."""
+    parts = [
+        """
+        with idx as (select doc_id, source from documents),
+        ed as (
+          select distinct a.source as src, b.source as dst
+          from idx a join idx b
+            on b.doc_id = (a.doc_id * 31 + 7) % (select count(*) from documents)
+          where a.source <> b.source),
+        nodes as (select src as node from ed union select dst as node from ed),
+        nn as (select count(*)::DOUBLE as n from nodes),
+        deg as (select src, count(*) as d from ed group by src),
+        s0 as (select node, 1.0 / (select n from nn) as cash,
+                      0.0 as hist from nodes)
+        """
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f"""
+        , c{i} as (
+          select ed.dst as node, sum(s.cash / deg.d) as contrib
+          from s{i - 1} s
+          join ed on ed.src = s.node
+          join deg on deg.src = ed.src
+          group by ed.dst)
+        , dang{i} as (
+          select coalesce(sum(s.cash), 0) as dm
+          from s{i - 1} s left join deg on deg.src = s.node
+          where deg.src is null)
+        , s{i} as (
+          select s.node,
+                 coalesce(c.contrib, 0)
+                   + (select dm from dang{i}) / (select n from nn) as cash,
+                 s.hist + s.cash as hist
+          from s{i - 1} s left join c{i} c on c.node = s.node)
+        """
+        )
+    parts.append(
+        f"""
+        select node as host, round(cash, 6) as cash,
+               round(hist, 6) as history,
+               round((hist + cash) / {float(n_iter + 1)}, 6) as importance
+        from s{n_iter}
+        """
     )
     return "".join(parts)
 
@@ -1736,6 +1819,7 @@ def oracle_sql() -> dict[str, str]:
             from documents d left join comp c on c.node = d.doc_id
         """,
         "host_pagerank": _pagerank_oracle_sql(n_iter=5),
+        "opic_importance": _opic_oracle_sql(n_iter=5),
         "tfidf_top_terms": """
             with words as (select doc_id, unnest(string_split(text, ' '))
                              as term

@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "near_dup_pipeline",
     "duplicate_clusters",
     "host_pagerank",
+    "opic_importance",
     "gopher_quality",
     "segment_dedup",
     "repetition_stats",
