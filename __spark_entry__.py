@@ -498,6 +498,41 @@ def _q_opic_importance(spark, sf):
     )
 
 
+def _q_recrawl_priority(spark, sf):
+    """Adaptive recrawl scheduling (Cho & Garcia-Molina 2003): per-url
+    change-rate λ̂ + Poisson staleness from a deterministic 4-fetch
+    history (doc d's digest flips every 1+(d%4)*3 rounds). One url
+    window + one hash aggregate — no joins."""
+    from webcrawler_spark.operators.recrawl import recrawl_priority
+
+    hist = (
+        _docs(spark, sf)
+        .select(
+            "doc_id",
+            F.explode(F.array([F.lit(r) for r in (0, 2, 4, 6)])).alias("round"),
+        )
+        .select(
+            F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url"),
+            "round",
+            F.concat(
+                F.lit("d"),
+                F.floor(
+                    F.col("round") / (1 + (F.col("doc_id") % 4) * 3)
+                ).cast("string"),
+            ).alias("digest"),
+        )
+    )
+    out = recrawl_priority(hist, now_round=8)
+    # + 0.0 folds IEEE -0.0 to +0.0 (a never-changing url's λ̂ is
+    # -ln(1)/I = -0.0 in one engine, +0.0 in the other)
+    return out.select(
+        "url",
+        (F.round("change_rate", 6) + F.lit(0.0)).alias("change_rate"),
+        "age",
+        (F.round("p_stale", 6) + F.lit(0.0)).alias("p_stale"),
+    )
+
+
 def _q_simhash(spark, sf):
     from webcrawler_spark.operators.dedup import simhash
 
@@ -1342,6 +1377,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_clusters": _q_duplicate_clusters,
         "host_pagerank": _q_host_pagerank,
         "opic_importance": _q_opic_importance,
+        "recrawl_priority": _q_recrawl_priority,
         "gopher_quality": _q_gopher_quality,
         "segment_dedup": _q_segment_dedup,
         "repetition_stats": _q_repetition_stats,
@@ -1820,6 +1856,38 @@ def oracle_sql() -> dict[str, str]:
         """,
         "host_pagerank": _pagerank_oracle_sql(n_iter=5),
         "opic_importance": _opic_oracle_sql(n_iter=5),
+        "recrawl_priority": """
+            with hist as (
+              select 'u' || doc_id as url, r.round,
+                     'd' || cast(floor(r.round
+                       / (1 + (doc_id % 4) * 3)) as bigint) as digest
+              from documents
+              cross join (select unnest([0, 2, 4, 6]) as round) r),
+            lagd as (
+              select url, round, digest,
+                     lag(digest) over (partition by url order by round) as pd,
+                     lag(round) over (partition by url order by round) as pr
+              from hist),
+            st as (
+              select url, count(pd) as n_intervals,
+                     sum(case when pd is not null and digest <> pd
+                         then 1 else 0 end) as n_changes,
+                     avg(round - pr) as mean_interval,
+                     max(round) as last_round
+              from lagd group by url),
+            pr as (
+              select url,
+                     case when n_intervals > 0
+                       then -ln((n_intervals - n_changes + 0.5)
+                                / (n_intervals + 0.5)) / mean_interval
+                       else 0.1 end as lam,
+                     8 - last_round as age
+              from st)
+            select url, round(lam, 6) + 0.0 as change_rate,
+                   cast(age as bigint) as age,
+                   round(1.0 - exp(-lam * age), 6) + 0.0 as p_stale
+            from pr
+        """,
         "tfidf_top_terms": """
             with words as (select doc_id, unnest(string_split(text, ' '))
                              as term

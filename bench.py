@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "dsir_topk",
     "nb_langid",
     "trap_hosts",
+    "recrawl_priority",
     "rank_priority",
     "politeness_schedule",
     "sessionize",
