@@ -498,6 +498,24 @@ def _q_opic_importance(spark, sf):
     )
 
 
+def _q_bigram_logprob(spark, sf):
+    """CCNet-shaped LM scoring (Wenzek et al. 2020): a Jelinek-Mercer
+    interpolated bigram model fit on the clean slice (source='src0')
+    scores every other document; lower avg log10 p = further from the
+    target domain. Fit = explode + two hash aggs; scoring = shuffle
+    join on (w1,w2) + broadcast unigram joins + one per-doc agg."""
+    from webcrawler_spark.operators.lm import bigram_logprob, fit_bigram_lm
+
+    d = _docs(spark, sf)
+    bi, uni, n, v = fit_bigram_lm(d.where(F.col("source") == "src0"))
+    scored = bigram_logprob(
+        d.where(F.col("source") != "src0"), bi, uni, n, v, lam=0.7
+    )
+    return scored.select(
+        "doc_id", "n_bigrams", F.round("avg_logp", 6).alias("avg_logp")
+    )
+
+
 def _q_recrawl_priority(spark, sf):
     """Adaptive recrawl scheduling (Cho & Garcia-Molina 2003): per-url
     change-rate λ̂ + Poisson staleness from a deterministic 4-fetch
@@ -1378,6 +1396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_pagerank": _q_host_pagerank,
         "opic_importance": _q_opic_importance,
         "recrawl_priority": _q_recrawl_priority,
+        "bigram_logprob": _q_bigram_logprob,
         "gopher_quality": _q_gopher_quality,
         "segment_dedup": _q_segment_dedup,
         "repetition_stats": _q_repetition_stats,
@@ -1856,6 +1875,42 @@ def oracle_sql() -> dict[str, str]:
         """,
         "host_pagerank": _pagerank_oracle_sql(n_iter=5),
         "opic_importance": _opic_oracle_sql(n_iter=5),
+        "bigram_logprob": f"""
+            with tr as (select string_split(text, ' ') as w
+                        from documents where source = 'src0'),
+            tw as (select unnest(w) as term from tr),
+            uni as (select term, count(*) as c from tw group by term),
+            tot as (select cast(sum(c) + count(*) as double) as nv
+                    from uni),
+            tb as (select unnest(case when len(w) >= 2
+                     then list_transform(generate_series(1, len(w) - 1),
+                       i -> {{'w1': w[i], 'w2': w[i + 1]}})
+                     else [] end) as b
+                   from tr),
+            bi as (select b.w1 as w1, b.w2 as w2, count(*) as c12
+                   from tb group by 1, 2),
+            test as (select doc_id, string_split(text, ' ') as w
+                     from documents where source <> 'src0'),
+            pos as (select doc_id,
+                      unnest(case when len(w) >= 2
+                        then list_transform(generate_series(1, len(w) - 1),
+                          i -> {{'w1': w[i], 'w2': w[i + 1]}})
+                        else [] end) as b
+                    from test),
+            j as (select p.doc_id,
+                    0.7 * (case when u1.c is not null and bi.c12 is not null
+                           then bi.c12 / u1.c else 0.0 end)
+                    + {1.0 - 0.7!r}
+                      * ((coalesce(u2.c, 0) + 1.0) / (select nv from tot))
+                      as prob
+                  from pos p
+                  left join bi on bi.w1 = (p.b).w1 and bi.w2 = (p.b).w2
+                  left join uni u1 on u1.term = (p.b).w1
+                  left join uni u2 on u2.term = (p.b).w2)
+            select doc_id, cast(count(*) as bigint) as n_bigrams,
+                   round(avg(log10(prob)), 6) as avg_logp
+            from j group by doc_id
+        """,
         "recrawl_priority": """
             with hist as (
               select 'u' || doc_id as url, r.round,

@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "ngram_contamination",
     "decontaminate",
     "unigram_logprob",
+    "bigram_logprob",
     "duplicated_ngrams",
     "mixture_sample",
     "source_report",

@@ -1,0 +1,127 @@
+"""Interpolated bigram language-model scoring — the context-aware
+tier of CCNet's perplexity bucketing (Wenzek et al., "CCNet:
+Extracting High Quality Monolingual Datasets from Web Crawl Data",
+LREC 2020, public: documents scored by an LM trained on a clean
+target corpus, then bucketed head/middle/tail). The production CCNet
+model is a 5-gram KenLM; this sandbox analog is a Jelinek-Mercer
+interpolated bigram model (Jelinek & Mercer 1980 — the classic
+mixture smoothing), which already captures the context signal the
+unigram tier (textstats.unigram_logprob) can't.
+
+Model:
+
+    p(w2 | w1) = λ · c(w1 w2)/c(w1)  +  (1-λ) · (c(w2)+1)/(N+V)
+
+ML bigram conditional, interpolated with an add-1-smoothed unigram —
+unseen bigrams (or unseen w1) fall back to the unigram term, unseen
+w2 to the 1/(N+V) floor, so every score is finite. Document score =
+mean log10 p over its bigram positions (docs with < 2 tokens are
+absent — they have no bigram positions to score).
+
+Plan shape at 100 TB: fit = one explode + two hash aggregates with
+map-side partial combine (the bigram table scales with the corpus's
+DISTINCT bigrams, not with vocab²; it stays a DataFrame and scoring
+joins it by key — never collected). Scoring = explode to bigram
+positions → shuffle join against the bigram counts on (w1, w2) →
+join against the unigram counts (vocabulary-sized, broadcast) → one
+per-doc hash aggregate. At cluster scale write the bigram table
+bucketed by (w1, w2) so the scoring join is co-located.
+
+Reference parity note: the reference crawler has no LM scoring; this
+extends the rebuilt engine's cleaning tier (gopher_quality →
+unigram_logprob → this) toward the full CCNet recipe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from webcrawler_spark.operators.textstats import words_col
+
+
+def _bigrams(text: Column) -> Column:
+    """array<struct<w1,w2>> of adjacent token pairs."""
+    w = words_col(text)
+    n = F.size(w)
+    return F.when(n < 2, F.array().cast("array<struct<w1:string,w2:string>>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.struct(
+                F.element_at(w, i).alias("w1"), F.element_at(w, i + 1).alias("w2")
+            ),
+        )
+    )
+
+
+def fit_bigram_lm(
+    train: DataFrame, col: str = "text"
+) -> tuple[DataFrame, DataFrame, int, int]:
+    """Count tables from the training slice: returns
+    ``(bigram_counts(w1, w2, c12), unigram_counts(term, c), n_tokens,
+    vocab_size)``. Both tables stay distributed; the two scalars are
+    1-row aggregates."""
+    words = train.select(F.explode(words_col(F.col(col))).alias("term"))
+    uni = words.groupBy("term").agg(F.count("*").alias("c"))
+    bi = (
+        train.select(F.explode(_bigrams(F.col(col))).alias("b"))
+        .select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+    )
+    totals = uni.agg(
+        F.sum("c").alias("n_tokens"), F.count("*").alias("v")
+    ).collect()[0]
+    return bi, uni, int(totals["n_tokens"] or 0), int(totals["v"] or 0)
+
+
+def bigram_logprob(
+    df: DataFrame,
+    bi: DataFrame,
+    uni: DataFrame,
+    n_tokens: int,
+    vocab_size: int,
+    col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.7,
+) -> DataFrame:
+    """(id, n_bigrams, avg_logp): per-document mean log10 of the
+    interpolated bigram probability. Docs with < 2 tokens are absent.
+
+    Join order: positions ⋈ bigram counts on (w1, w2) [shuffle —
+    the bigram table is corpus-sized], then ⋈ unigram counts twice
+    (w1 context total, w2 unigram mass) [broadcast — vocabulary-
+    sized], then one per-doc aggregate."""
+    pos = df.select(
+        F.col(id_col), F.explode(_bigrams(F.col(col))).alias("b")
+    ).select(id_col, F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    c1 = uni.select(F.col("term").alias("w1"), F.col("c").alias("c1"))
+    c2 = uni.select(F.col("term").alias("w2"), F.col("c").alias("c2"))
+    denom = float(n_tokens + vocab_size)
+    p = (
+        F.lit(float(lam))
+        * F.when(
+            F.col("c1").isNotNull() & F.col("c12").isNotNull(),
+            F.col("c12") / F.col("c1"),
+        ).otherwise(F.lit(0.0))
+        + F.lit(1.0 - float(lam))
+        * ((F.coalesce(F.col("c2"), F.lit(0)) + F.lit(1.0)) / F.lit(denom))
+    )
+    return (
+        pos.join(bi, ["w1", "w2"], "left")
+        .join(F.broadcast(c1), "w1", "left")
+        .join(F.broadcast(c2), "w2", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.avg(F.log10(p)).alias("avg_logp"),
+        )
+    )
+
+
+def bigram_logprob_self(
+    df: DataFrame, col: str = "text", id_col: str = "doc_id", lam: float = 0.7
+) -> DataFrame:
+    """Self-trained convenience wrapper (the corpus supplies its own
+    model, like unigram_logprob): fit on ``df``, score ``df``."""
+    bi, uni, n, v = fit_bigram_lm(df, col)
+    return bigram_logprob(df, bi, uni, n, v, col, id_col, lam)
