@@ -498,6 +498,36 @@ def _q_opic_importance(spark, sf):
     )
 
 
+def _q_vocab_build(spark, sf):
+    """Frequency vocabulary (top-500 terms, ids by count desc / term
+    asc): explode → hash agg → TakeOrderedAndProject; the rank window
+    runs over the already-capped ≤500-row table."""
+    from webcrawler_spark.operators.vocab import build_vocab
+
+    return build_vocab(_docs(spark, sf), max_size=500)
+
+
+def _q_encode_docs(spark, sf):
+    """Token-id encoding against the built vocab: posexplode →
+    broadcast vocab join → per-doc reassembly aggregate; OOV → -1.
+    The downstream feed for packing.py's sequence packing."""
+    from webcrawler_spark.operators.vocab import build_vocab, encode_docs
+
+    d = _docs(spark, sf)
+    enc = encode_docs(d, build_vocab(d, max_size=500))
+    # the id sequence is serialized for the hash compare (array-column
+    # canon differs between drivers); the operator itself returns the
+    # real array<int>
+    return enc.select(
+        "doc_id",
+        "n_tokens",
+        "n_unk",
+        F.array_join(
+            F.transform(F.col("token_ids"), lambda x: x.cast("string")), ","
+        ).alias("token_ids"),
+    )
+
+
 def _q_bigram_logprob(spark, sf):
     """CCNet-shaped LM scoring (Wenzek et al. 2020): a Jelinek-Mercer
     interpolated bigram model fit on the clean slice (source='src0')
@@ -1397,6 +1427,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "opic_importance": _q_opic_importance,
         "recrawl_priority": _q_recrawl_priority,
         "bigram_logprob": _q_bigram_logprob,
+        "vocab_build": _q_vocab_build,
+        "encode_docs": _q_encode_docs,
         "gopher_quality": _q_gopher_quality,
         "segment_dedup": _q_segment_dedup,
         "repetition_stats": _q_repetition_stats,
@@ -1875,6 +1907,48 @@ def oracle_sql() -> dict[str, str]:
         """,
         "host_pagerank": _pagerank_oracle_sql(n_iter=5),
         "opic_importance": _opic_oracle_sql(n_iter=5),
+        "vocab_build": """
+            with tw as (select unnest(string_split(text, ' ')) as term
+                        from documents),
+            c as (select term, count(*) as c from tw group by term),
+            top as (select term, c from c order by c desc, term limit 500)
+            select term,
+                   cast(row_number() over (order by c desc, term) - 1
+                        as int) as token_id,
+                   c
+            from top
+        """,
+        "encode_docs": """
+            with tw as (select unnest(string_split(text, ' ')) as term
+                        from documents),
+            cc as (select term, count(*) as c from tw group by term),
+            top as (select term, c from cc order by c desc, term limit 500),
+            vocab as (select term,
+                        cast(row_number() over (order by c desc, term) - 1
+                             as int) as token_id
+                      from top),
+            ws as (select doc_id, string_split(text, ' ') as w
+                   from documents),
+            pos as (select doc_id,
+                      unnest(list_transform(generate_series(1, len(w)),
+                        i -> {'pos': i, 'term': w[i]})) as p
+                    from ws),
+            grp as (select doc_id,
+                      cast(count(*) as bigint) as n_tokens,
+                      cast(sum(case when v.token_id is null then 1
+                               else 0 end) as bigint) as n_unk,
+                      list(coalesce(v.token_id, -1) order by (p).pos)
+                        as token_ids
+                    from pos
+                    left join vocab v on v.term = (p).term
+                    group by doc_id)
+            select d.doc_id,
+                   coalesce(g.n_tokens, 0) as n_tokens,
+                   coalesce(g.n_unk, 0) as n_unk,
+                   coalesce(array_to_string(g.token_ids, ','), '')
+                     as token_ids
+            from documents d left join grp g using (doc_id)
+        """,
         "bigram_logprob": f"""
             with tr as (select string_split(text, ' ') as w
                         from documents where source = 'src0'),

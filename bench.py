@@ -56,6 +56,8 @@ BENCH_QUERIES = [
     "duplicated_ngrams",
     "mixture_sample",
     "source_report",
+    "vocab_build",
+    "encode_docs",
     "pack_chunks",
     "pack_greedy",
     "redact_pii",
