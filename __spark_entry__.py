@@ -1389,6 +1389,110 @@ def _q_cms_topk_est(spark, sf):
     )
 
 
+def _lined_docs(spark, sf):
+    """Documents with deterministic line structure: the testdata text is
+    one punctuation-free line, so C4's line rules need synthetic lines.
+    Words chunk into 6-word lines; each line's terminal comes from
+    md5(doc_id|i) % 5 (0,1 -> '.', 2 -> '?', 3 -> none -> line dropped,
+    4 -> ' javascript.' -> banned word); docs with doc_id % 97 == 0 gain
+    a 'lorem ipsum dolor.' line that bans the whole doc. The oracle
+    replays the construction verbatim in SQL."""
+    d = _docs(spark, sf)
+    ws = F.split(F.col("text"), " ")
+    nseg = F.greatest(F.ceil(F.size(ws) / 6.0).cast("int"), F.lit(1))
+
+    def mk_line(i):
+        base = F.array_join(F.slice(ws, (i - 1) * 6 + 1, 6), " ")
+        h = F.conv(
+            F.substring(F.md5(F.concat_ws("|", F.col("doc_id"), i)), 1, 2),
+            16,
+            10,
+        ).cast("long") % 5
+        return F.concat(
+            base,
+            F.when(h.isin(0, 1), ".")
+            .when(h == 2, "?")
+            .when(h == 3, "")
+            .otherwise(" javascript."),
+        )
+
+    text2 = F.array_join(F.transform(F.sequence(F.lit(1), nseg), mk_line), "\n")
+    text2 = F.when(
+        F.col("doc_id") % 97 == 0,
+        F.concat(text2, F.lit("\nlorem ipsum dolor.")),
+    ).otherwise(text2)
+    return d.select("doc_id", text2.alias("text"))
+
+
+def _q_c4_clean(spark, sf):
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2): keep lines
+    ending in terminal punctuation with >= 3 words and no 'javascript';
+    ban docs containing 'lorem ipsum' or '{'. Pure codegen projection
+    over array lambdas — zero shuffles."""
+    from webcrawler_spark.operators.cleaning import c4_line_filter
+
+    return c4_line_filter(_lined_docs(spark, sf), min_words=3)
+
+
+def _q_domain_cap(spark, sf):
+    """RefinedWeb-style per-domain cap: keep the 5 largest docs per
+    source via the two-level top-k (partition-local prune spreads a
+    mega-host over all tasks before the exact per-host window)."""
+    from webcrawler_spark.operators.mixing import domain_cap
+
+    return domain_cap(
+        _docs(spark, sf), host_col="source", k=5, score_col="n_chars"
+    )
+
+
+def _q_sitemap_parse(spark, sf):
+    """Sitemap XML round-trip: build one sitemaps.org-format file per
+    source (whitespace-padded <loc>, <lastmod> on even doc_ids), parse
+    it back with the native-regexp extractor, one row per entry. The
+    oracle emits the expected entries directly, so the parser must
+    invert the synthesis exactly (incl. loc trimming and NULL
+    lastmod)."""
+    from webcrawler_spark.functions.sitemap import extract_sitemap_urls
+
+    d = _docs(spark, sf)
+    entry = F.concat(
+        F.lit("<url><loc> https://"),
+        F.col("source"),
+        F.lit(".example/d/"),
+        F.col("doc_id").cast("string"),
+        F.lit(" </loc>"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit("<lastmod>2026-0"),
+                (F.col("doc_id") % 9 + 1).cast("string"),
+                F.lit("-01</lastmod>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</url>"),
+    )
+    xml = (
+        d.select("source", "doc_id", entry.alias("e"))
+        .groupBy("source")
+        .agg(
+            F.concat(
+                F.lit("<urlset>"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("doc_id", "e"))
+                        ),
+                        lambda x: x["e"],
+                    ),
+                    "",
+                ),
+                F.lit("</urlset>"),
+            ).alias("xml")
+        )
+    )
+    return extract_sitemap_urls(xml, xml_col="xml", id_col="source")
+
+
 def _tuned(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
     """Apply runtime perf confs (JIT-compilable codegen limit etc.) to
     the harness-owned session before building the query — execution
@@ -1446,6 +1550,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_langid": _q_nb_langid,
         "trap_hosts": _q_trap_hosts,
         "rank_priority": _q_rank_priority,
+        "c4_clean": _q_c4_clean,
+        "domain_cap": _q_domain_cap,
+        "sitemap_parse": _q_sitemap_parse,
         "pack_chunks": _q_pack_chunks,
         "pack_greedy": _q_pack_greedy,
         "redact_pii": _q_redact_pii,
@@ -2369,6 +2476,68 @@ def oracle_sql() -> dict[str, str]:
                      and (stop_hits >= 2)
                      and (dup_ratio <= 0.05) as keep
             from m
+        """,
+        "c4_clean": """
+            with s as (select doc_id, string_split(text, ' ') as ws
+                       from documents),
+            b as (select doc_id, ws,
+                         greatest(cast(ceil(len(ws) / 6.0) as int), 1) as nseg
+                  from s),
+            lines as (
+              select doc_id,
+                     list_transform(generate_series(1, nseg), i ->
+                       array_to_string(
+                         list_slice(ws, (i - 1) * 6 + 1, (i - 1) * 6 + 6),
+                         ' ')
+                       || case cast(('0x' || substring(
+                               md5(doc_id || '|' || i), 1, 2)) as ubigint) % 5
+                          when 0 then '.' when 1 then '.'
+                          when 2 then '?' when 3 then ''
+                          else ' javascript.' end) as ls
+              from b),
+            doc as (
+              select doc_id,
+                     array_to_string(ls, chr(10))
+                       || case when doc_id % 97 = 0
+                               then chr(10) || 'lorem ipsum dolor.'
+                               else '' end as text2
+              from lines),
+            f as (
+              select doc_id, text2,
+                     string_split(text2, chr(10)) as all_lines,
+                     list_filter(string_split(text2, chr(10)), l ->
+                       right(l, 1) in ('.', '!', '?', '"')
+                       and len(string_split(l, ' ')) >= 3
+                       and not contains(lower(l), 'javascript')) as kept
+              from doc)
+            select doc_id,
+                   coalesce(array_to_string(kept, chr(10)), '') as clean_text,
+                   cast(len(all_lines) as bigint) as n_lines,
+                   cast(len(kept) as bigint) as n_kept,
+                   (not (contains(lower(text2), 'lorem ipsum')
+                         or contains(text2, '{'))
+                    and len(kept) >= 1) as keep
+            from f
+        """,
+        "domain_cap": """
+            select doc_id, text, lang, source, n_chars, host_rank
+            from (select *,
+                         row_number() over (partition by source
+                                            order by n_chars desc, doc_id)
+                           as host_rank
+                  from documents)
+            where host_rank <= 5
+        """,
+        "sitemap_parse": """
+            select source,
+                   cast(row_number() over (partition by source
+                                           order by doc_id) - 1
+                        as bigint) as pos,
+                   'https://' || source || '.example/d/' || doc_id as loc,
+                   case when doc_id % 2 = 0
+                        then '2026-0' || (doc_id % 9 + 1) || '-01'
+                   end as lastmod
+            from documents
         """,
         "segment_dedup": """
             with w as (select doc_id, string_split(text, ' ') as ws

@@ -35,6 +35,9 @@ AUDITED = [
     "trap_hosts",
     "rank_priority",
     "recrawl_priority",
+    "c4_clean",
+    "domain_cap",
+    "sitemap_parse",
 ]
 
 FORBIDDEN = ["CartesianProduct", "SinglePartition", "SortMergeJoin"]

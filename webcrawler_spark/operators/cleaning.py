@@ -20,7 +20,7 @@ Scale notes (100 TB corpus):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -453,3 +453,68 @@ def redact_pii(
     for _, pat, repl in PII_PATTERNS:
         red = F.regexp_replace(red, pat, repl)
     return df.select(F.col(id_col), red.alias("redacted_text"), *counts)
+
+
+# ---------------------------------------------------------------------------
+# C4-style line-level cleaning (Raffel et al. 2020, §2.2 — the public
+# "colossal clean crawled corpus" heuristics, line tier)
+# ---------------------------------------------------------------------------
+
+C4_TERMINALS = (".", "!", "?", '"')
+
+
+def c4_line_filter(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 3,
+    min_kept_lines: int = 1,
+    line_ban: tuple[str, ...] = ("javascript",),
+    doc_ban: tuple[str, ...] = ("lorem ipsum", "{"),
+) -> DataFrame:
+    """C4's line-level cleaning pass (Raffel et al. 2020 §2.2): keep a
+    line only if it ends in a terminal punctuation mark, has at least
+    ``min_words`` words, and mentions none of ``line_ban``; drop the
+    whole document if it contains any ``doc_ban`` phrase (C4 uses
+    "lorem ipsum" and the code-smell brace) or if fewer than
+    ``min_kept_lines`` lines survive.
+
+    Output: (id, clean_text, n_lines, n_kept, keep) — keep is the
+    doc-level verdict; clean_text joins the surviving lines with
+    newlines so downstream tiers (Gopher doc gate, CCNet segment
+    dedup) compose on the cleaned column.
+
+    This is the third cleaning tier alongside ``gopher_quality_flags``
+    (doc-level stats gate) and ``dedup_text_segments`` (corpus-level
+    segment dedup): C4 works *within* the document at line granularity.
+
+    Scale notes (100 TB): pure whole-stage-codegen projection over
+    higher-order array functions — zero shuffles, zero Python; only
+    ``col``/``id_col`` are read so column pruning reaches the scan.
+    Reference parity note: the reference crawler has no cleaning pass
+    (it stops at visible-text extraction, Parser.py:52-72); this tier
+    is the training-pipeline extension the rebuild adds on top.
+    """
+    lines = F.split(F.col(col), "\n")
+
+    def line_ok(l: Column) -> Column:
+        ok = l.substr(-1, 1).isin(*C4_TERMINALS)
+        ok = ok & (F.size(F.split(l, " ")) >= F.lit(min_words))
+        low = F.lower(l)
+        for b in line_ban:
+            ok = ok & ~low.contains(b.lower())
+        return ok
+
+    kept = F.filter(lines, line_ok)
+    low_doc = F.lower(F.col(col))
+    banned = F.lit(False)
+    for b in doc_ban:
+        banned = banned | low_doc.contains(b.lower())
+    n_kept = F.size(kept)
+    return df.select(
+        F.col(id_col),
+        F.array_join(kept, "\n").alias("clean_text"),
+        F.size(lines).cast("long").alias("n_lines"),
+        n_kept.cast("long").alias("n_kept"),
+        (~banned & (n_kept >= F.lit(min_kept_lines))).alias("keep"),
+    )

@@ -136,3 +136,54 @@ def quality_sample(
     return scored.withColumn("bucket", bucket).where(
         uniform_hash_col(F.col(id_col)) < rate
     )
+
+
+def domain_cap(
+    df: DataFrame,
+    host_col: str = "source",
+    k: int = 10,
+    score_col: str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain document cap (RefinedWeb-style host balancing): keep
+    at most ``k`` documents per ``host_col``, preferring the highest
+    ``score_col`` (ties and the no-score case broken by ``id_col`` so
+    the kept set is a pure function of the data, reproducible at any
+    parallelism).
+
+    Why it exists: a handful of mega-hosts (forums, wikis, link farms)
+    dominate any web crawl; capping per registered domain is the
+    standard re-balancing pass before mixture construction.
+
+    Output: the input columns plus ``host_rank`` (1-based within the
+    host, in keep-preference order) for the audit trail.
+
+    Scale notes (100 TB): the naive plan — one window partitioned by
+    host — puts every row of a mega-host in ONE task (exactly the skew
+    this operator is meant to fix). This uses the same two-level
+    trick as ``cosine_topk``: each scan partition first keeps its local
+    top-k per host with a window on (spark_partition_id, host) — the
+    shuffle key includes the partition id, so a mega-host spreads over
+    all tasks — then the exact window ranks the <= k * n_partitions
+    survivors per host. Result is identical to the single-window plan
+    because the keep order is total.
+    """
+    from pyspark.sql.window import Window
+
+    order = (
+        [F.col(score_col).desc(), F.col(id_col)]
+        if score_col
+        else [F.col(id_col)]
+    )
+    w_local = Window.partitionBy("__pid", host_col).orderBy(*order)
+    survivors = (
+        df.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__lr", F.row_number().over(w_local))
+        .filter(F.col("__lr") <= k)
+        .drop("__pid", "__lr")
+    )
+    w = Window.partitionBy(host_col).orderBy(*order)
+    return (
+        survivors.withColumn("host_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("host_rank") <= k)
+    )
