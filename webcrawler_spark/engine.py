@@ -119,6 +119,14 @@ class CrawlConfig:
     trap_filter: bool = False
     trap_min_urls: int = 20              # flag only after this many fetches
     trap_dup_threshold: float = 0.5      # flag when dup fraction ≥ this
+    # sitemap seeding (opt-in; default OFF preserves reference-ordering
+    # parity — the reference discovers URLs only from anchors,
+    # Parser.py:56-66): at init each seed host's /sitemap.xml, when the
+    # corpus has one, is parsed (functions/sitemap.py) and its <loc>
+    # entries join the round-0 frontier at depth 1, FIFO-after the
+    # seeds. Robots, extension, and seen gates still apply to them at
+    # scheduling time like any discovered link.
+    use_sitemaps: bool = False
     collect_metrics: bool = True         # S7 per-round metrics table
     agent: str = "*"                     # Host.py:9
     # W4 executor: "native" = window-arithmetic virtual clock (codegen,
@@ -466,6 +474,8 @@ class CrawlEngine:
                 "url", "host", "resource", "bucket", "depth", "discovered_seq"
             )
         )
+        if self.cfg.use_sitemaps:
+            fr = fr.unionByName(self._sitemap_seeds(fr))
         self.cat.overwrite("frontier", fr.repartition("bucket"))
         empty = self.spark.createDataFrame([], _SEEN_SCHEMA)
         self.cat.register_empty("seen", empty)
@@ -485,6 +495,59 @@ class CrawlEngine:
         )
         self.state = CrawlState()
         self.cat.commit_round(-1, self.state.to_json())
+
+    def _sitemap_seeds(self, fr: DataFrame) -> DataFrame:
+        """Sitemap-advertised URLs for the seed hosts (opt-in S1 source,
+        sitemaps.org protocol; no reference analog — the reference
+        follows anchors only). Plan shape: one filtered corpus-side
+        scan (url suffix pushes to the parquet scan) joined against a
+        BROADCAST of the seed-host set — the corpus never shuffles.
+        Entries normalize and in-batch dedup exactly like extracted
+        links (P1/A5), anti-join the seeds, and enter the frontier at
+        depth 1 with discovered_seq offset 2^20 so each host's FIFO is:
+        seeds first, then sitemap entries in file order (seed lists are
+        assumed < 2^20 rows; round-1 discoveries start at 2^40).
+        """
+        from webcrawler_spark.functions.sitemap import extract_sitemap_urls
+
+        sm_pages = self.pages_html.filter(
+            F.col("url").endswith("/sitemap.xml")
+        ).select(
+            host_col(F.col("url")).alias("sm_host"),
+            F.col("html").cast("string").alias("xml"),
+        )
+        seed_hosts = fr.select(F.col("host").alias("sm_host")).distinct()
+        entries = extract_sitemap_urls(
+            sm_pages.join(F.broadcast(seed_hosts), "sm_host"),
+            xml_col="xml",
+            id_col="sm_host",
+        )
+        cand = (
+            entries.select(
+                "sm_host", "pos", normalize_url_udf(F.col("loc")).alias("url")
+            )
+            .withColumn("host", host_col(F.col("url")))
+            .withColumn("resource", resource_col(F.col("url")))
+            .filter(F.col("host") != "")                              # F8
+        )
+        w_first = Window.partitionBy("url").orderBy("sm_host", "pos")
+        cand = (
+            cand.withColumn("_rn", F.row_number().over(w_first))      # A5
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .join(fr.select("url"), "url", "left_anti")
+        )
+        w_disc = Window.partitionBy("host").orderBy("sm_host", "pos", "url")
+        return cand.select(
+            "url",
+            "host",
+            "resource",
+            self._bucket(F.col("host")).alias("bucket"),
+            F.lit(1).alias("depth"),
+            (F.lit(1 << 20) + F.row_number().over(w_disc))
+            .cast("long")
+            .alias("discovered_seq"),
+        )
 
     def resume(self) -> None:
         """North_rule resumption: state scalars come back from the
