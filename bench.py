@@ -91,6 +91,14 @@ def _isolate(spark) -> None:
 
     gc.collect()
     spark.catalog.clearCache()
+    # localCheckpoint blocks whose py4j refs are gone still wait on the
+    # async ContextCleaner; unpersist them NOW so no timed query starts
+    # under leftover block-manager pressure (measured: semantic_dedup
+    # 52 s after the iterative queries without this, ~7 s with)
+    jsc = spark.sparkContext._jsc.sc()
+    it = jsc.getPersistentRDDs().values().iterator()
+    while it.hasNext():
+        it.next().unpersist(True)
     spark.sparkContext._jvm.System.gc()
 
 
