@@ -1389,6 +1389,16 @@ def _q_cms_topk_est(spark, sf):
     )
 
 
+def _q_exact_substring_dedup(spark, sf):
+    """Lee et al. 2022 exact-substring span removal: every 8-token
+    window occurring >= 2 times in the corpus is cut; overlapping
+    windows merge to maximal spans first. Hash-aggregate multiplicity
+    + lag-window islands — no suffix array, no self-join."""
+    from webcrawler_spark.operators.dedup import remove_duplicate_spans
+
+    return remove_duplicate_spans(_docs(spark, sf), k=8)
+
+
 def _lined_docs(spark, sf):
     """Documents with deterministic line structure: the testdata text is
     one punctuation-free line, so C4's line rules need synthetic lines.
@@ -1550,6 +1560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_langid": _q_nb_langid,
         "trap_hosts": _q_trap_hosts,
         "rank_priority": _q_rank_priority,
+        "exact_substring_dedup": _q_exact_substring_dedup,
         "c4_clean": _q_c4_clean,
         "domain_cap": _q_domain_cap,
         "sitemap_parse": _q_sitemap_parse,
@@ -2476,6 +2487,58 @@ def oracle_sql() -> dict[str, str]:
                      and (stop_hits >= 2)
                      and (dup_ratio <= 0.05) as keep
             from m
+        """,
+        "exact_substring_dedup": """
+            with t as (select doc_id, string_split(text, ' ') as w
+                       from documents),
+            b as (select doc_id, w, len(w) as n from t),
+            g as (select doc_id,
+                         unnest(list_transform(
+                           generate_series(1, greatest(n - 8 + 1, 0)),
+                           i -> struct_pack(
+                             pos := i,
+                             gh := cast(('0x' || substring(md5(
+                               array_to_string(list_slice(w, i, i + 7), ' ')
+                             ), 1, 8)) as ubigint)))) as u
+                  from b),
+            gp as (select doc_id, u.pos as pos, u.gh as gh from g),
+            dup as (select doc_id, pos from
+                      (select doc_id, pos,
+                              count(*) over (partition by gh) as c from gp)
+                    where c >= 2),
+            isl as (select doc_id, pos,
+                           case when lag(pos) over w is null
+                                  or pos > lag(pos) over w + 8
+                                then 1 else 0 end as brk
+                    from dup window w as (partition by doc_id order by pos)),
+            isl2 as (select doc_id, pos,
+                            sum(brk) over (partition by doc_id
+                                           order by pos) as island
+                     from isl),
+            spans as (select doc_id, island,
+                             min(pos) as s, max(pos) + 8 - 1 as e
+                      from isl2 group by doc_id, island),
+            sd as (select doc_id,
+                          list(struct_pack(s := s, e := e)) as spans,
+                          count(*) as n_spans,
+                          sum(e - s + 1) as n_removed
+                   from spans group by doc_id),
+            r as (select b.doc_id, b.w, b.n,
+                         coalesce(sd.spans,
+                                  []::STRUCT(s bigint, e bigint)[]) as spans,
+                         coalesce(sd.n_spans, 0) as n_spans,
+                         coalesce(sd.n_removed, 0) as n_removed
+                  from b left join sd using (doc_id))
+            select doc_id,
+                   coalesce(array_to_string(list_transform(
+                     list_filter(generate_series(1, n),
+                       i -> len(list_filter(spans,
+                              sp -> i >= sp.s and i <= sp.e)) = 0),
+                     i -> w[i]), ' '), '') as clean_text,
+                   cast(n as bigint) as n_tokens,
+                   cast(n_removed as bigint) as n_removed,
+                   cast(n_spans as bigint) as n_spans
+            from r
         """,
         "c4_clean": """
             with s as (select doc_id, string_split(text, ' ') as ws

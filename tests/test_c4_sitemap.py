@@ -176,3 +176,69 @@ def test_sitemap_empty_and_garbage(spark):
     assert _parse(spark, "") == []
     assert _parse(spark, "<urlset><url></url></urlset>") == []
     assert _parse(spark, "not xml at all") == []
+
+
+# ---------------------------------------------------------------------------
+# remove_duplicate_spans (Lee et al. 2022 cut step)
+# ---------------------------------------------------------------------------
+
+from webcrawler_spark.operators.dedup import remove_duplicate_spans
+
+
+def _spans(spark, rows, k, **kw):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = remove_duplicate_spans(df, k=k, **kw).collect()
+    return {r.doc_id: r for r in out}
+
+
+def test_span_removal_verbatim_duplicate_pair(spark):
+    txt = "a b c d e f"
+    got = _spans(spark, [(1, txt), (2, txt), (3, "x y z w v u")], k=3)
+    # every 3-gram of the duplicated doc occurs twice -> whole doc cut
+    assert got[1].clean_text == "" and got[1].n_removed == 6
+    assert got[2].clean_text == "" and got[2].n_spans == 1
+    # the unique doc is untouched
+    assert got[3].clean_text == "x y z w v u" and got[3].n_removed == 0
+
+
+def test_span_removal_merges_overlapping_windows(spark):
+    # docs share the 5-token span "p q r s t": three duplicated
+    # 3-gram positions per doc merge into ONE maximal span of 5
+    got = _spans(
+        spark,
+        [(1, "a1 b1 p q r s t c1 d1"), (2, "a2 p q r s t b2 c2 d2")],
+        k=3,
+    )
+    for d in (1, 2):
+        assert got[d].n_spans == 1
+        assert got[d].n_removed == 5
+        assert "p" not in got[d].clean_text.split()
+        assert "q r s t".split()[0] not in got[d].clean_text.split()
+    assert got[1].clean_text == "a1 b1 c1 d1"
+    assert got[2].clean_text == "a2 b2 c2 d2"
+
+
+def test_span_removal_short_docs_have_no_grams(spark):
+    got = _spans(spark, [(1, "a b"), (2, "a b")], k=3)
+    assert got[1].clean_text == "a b" and got[1].n_removed == 0
+
+
+def test_span_removal_parallelism_invariant(spark):
+    rows = [(i, f"w{i % 7} common tail span here x{i} y{i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = remove_duplicate_spans(df.repartition(1), k=3).collect()
+    b = remove_duplicate_spans(df.repartition(16), k=3).collect()
+    ka = sorted((r.doc_id, r.clean_text, r.n_removed, r.n_spans) for r in a)
+    kb = sorted((r.doc_id, r.clean_text, r.n_removed, r.n_spans) for r in b)
+    assert ka == kb
+
+
+def test_span_removal_native_hash_tier_matches(spark):
+    rows = [(i, f"alpha beta gamma delta {i % 5} epsilon zeta") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {r.doc_id: r.clean_text for r in remove_duplicate_spans(df, k=3).collect()}
+    b = {
+        r.doc_id: r.clean_text
+        for r in remove_duplicate_spans(df, k=3, native_hash=True).collect()
+    }
+    assert a == b

@@ -38,6 +38,7 @@ AUDITED = [
     "c4_clean",
     "domain_cap",
     "sitemap_parse",
+    "exact_substring_dedup",
 ]
 
 FORBIDDEN = ["CartesianProduct", "SinglePartition", "SortMergeJoin"]

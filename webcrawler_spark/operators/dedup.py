@@ -572,3 +572,108 @@ def incremental_dedup_batch(
     kept = new_df.join(dropped, id_col, "left_anti")
     kept_sigs = minhash_signatures(kept, id_col, text_col, n, bands)
     return kept, kept_sigs
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    k: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+    native_hash: bool = False,
+) -> DataFrame:
+    """Exact-substring span REMOVAL (the cut step of Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"):
+    every k-token window whose exact token sequence occurs >=
+    ``min_count`` times in the corpus is cut out of the document;
+    overlapping/adjacent duplicated windows merge into maximal spans
+    first so each removed token is cut exactly once.
+
+    ``duplicated_ngrams`` (above) is the stats tier of the same
+    construction; this is the transform tier. Lee et al. build one
+    corpus-wide suffix array — inherently single-machine; the Spark
+    re-expression gets the identical span set from the k-gram
+    multiplicity table (a window is in a duplicated suffix overlap of
+    length >= k iff its k-gram occurs twice), which is a hash
+    aggregate instead of a global sort.
+
+    Output: (id, clean_text, n_tokens, n_removed, n_spans).
+
+    Plan shape at 100 TB: explode to (doc, pos, gram_hash) — gram TEXT
+    never leaves the row, only the 8-byte hash; one hash aggregate on
+    gram_hash for multiplicities (map-side partial agg); a semi-join
+    back (broadcast when the dup-hash set is small, AQE decides); span
+    merging is a per-doc window over only the DUPLICATED positions
+    (equal-length windows make islands a lag test: a new span starts
+    when pos > prev_pos + k); reconstruction joins the <= 1 span-list
+    row per doc back to the corpus. The per-token span-membership
+    lambda is O(n_tokens x n_spans) per doc — spans are disjoint with
+    >= 1 token gaps so n_spans < n_tokens / k; worst case stays
+    linear-ish in practice and never leaves codegen.
+    """
+    from pyspark.sql.window import Window
+
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    if native_hash:
+        gram_hash = lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, k)))
+    else:
+        gram_hash = lambda i: F.conv(
+            F.substring(F.md5(F.concat_ws(" ", F.slice(toks, i, k))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+    grams_arr = F.when(
+        n >= k, F.transform(F.sequence(F.lit(1), n - k + 1), gram_hash)
+    ).otherwise(F.array().cast("array<long>"))
+    grams = df.select(
+        F.col(id_col), F.posexplode(grams_arr).alias("pos0", "gh")
+    ).select(id_col, (F.col("pos0") + 1).alias("pos"), "gh")
+
+    dup_hashes = (
+        grams.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_count)
+        .select("gh")
+    )
+    dup_pos = grams.join(dup_hashes, "gh", "left_semi")
+
+    w_ord = Window.partitionBy(id_col).orderBy("pos")
+    isl = dup_pos.withColumn(
+        "brk",
+        F.when(
+            F.lag("pos").over(w_ord).isNull()
+            | (F.col("pos") > F.lag("pos").over(w_ord) + k),
+            1,
+        ).otherwise(0),
+    ).withColumn("island", F.sum("brk").over(w_ord))
+    spans = isl.groupBy(id_col, "island").agg(
+        F.min("pos").cast("long").alias("s"),
+        (F.max("pos") + k - 1).cast("long").alias("e"),
+    )
+    span_lists = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("s", "e")).alias("spans"),
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("n_removed"),
+    )
+
+    joined = df.join(span_lists, id_col, "left")
+    spans_col = F.coalesce(
+        F.col("spans"), F.array().cast("array<struct<s:bigint,e:bigint>>")
+    )
+    keep_idx = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: ~F.exists(
+            spans_col, lambda sp: (i >= sp["s"]) & (i <= sp["e"])
+        ),
+    )
+    clean = F.array_join(
+        F.transform(keep_idx, lambda i: F.element_at(toks, i)), " "
+    )
+    return joined.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        n.cast("long").alias("n_tokens"),
+        F.coalesce(F.col("n_removed"), F.lit(0)).cast("long").alias("n_removed"),
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+    )
