@@ -61,6 +61,10 @@ BENCH_QUERIES = [
     "pack_chunks",
     "pack_greedy",
     "redact_pii",
+    "exact_substring_dedup",
+    "c4_clean",
+    "domain_cap",
+    "sitemap_parse",
     "anchor_topk",
     "quality_mixture",
     "tfidf_top_terms",
