@@ -1503,6 +1503,54 @@ def _q_sitemap_parse(spark, sf):
     return extract_sitemap_urls(xml, xml_col="xml", id_col="source")
 
 
+def _q_robots_sitemaps(spark, sf):
+    """Robots.txt `Sitemap:` directive discovery: build one robots body
+    per source (directives for doc_id%7==0 docs with alternating casing
+    / leading whitespace / tab separators / a trailing `# comment`,
+    plus a commented-out line and a mid-line mention that must NOT
+    match), extract with the native-regexp parser, one row per
+    directive. The oracle emits the expected rows directly, so the
+    extractor must invert the synthesis exactly."""
+    from webcrawler_spark.functions.sitemap import extract_robots_sitemaps
+
+    d = _docs(spark, sf)
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example/sm/"),
+        F.col("doc_id").cast("string"),
+        F.lit(".xml"),
+    )
+    line = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.when(F.col("doc_id") % 2 == 0, F.concat(F.lit("Sitemap: "), url))
+        .otherwise(F.concat(F.lit("  sitemap:\t"), url, F.lit(" # promoted"))),
+    )
+    body = (
+        d.select("source", "doc_id", line.alias("l"))
+        .groupBy("source")
+        .agg(
+            F.concat(
+                F.lit("# Sitemap: https://decoy.example/x.xml\n"),
+                F.lit("User-agent: *\nDisallow: /private\n"),
+                F.lit("note the sitemap: inline decoy\n"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(F.col("l").isNotNull(), F.struct("doc_id", "l"))
+                            )
+                        ),
+                        lambda x: x["l"],
+                    ),
+                    "\n",
+                ),
+            ).alias("robots_body")
+        )
+    )
+    return extract_robots_sitemaps(body, robots_col="robots_body", id_col="source")
+
+
 def _tuned(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
     """Apply runtime perf confs (JIT-compilable codegen limit etc.) to
     the harness-owned session before building the query — execution
@@ -1564,6 +1612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_clean": _q_c4_clean,
         "domain_cap": _q_domain_cap,
         "sitemap_parse": _q_sitemap_parse,
+        "robots_sitemaps": _q_robots_sitemaps,
         "pack_chunks": _q_pack_chunks,
         "pack_greedy": _q_pack_greedy,
         "redact_pii": _q_redact_pii,
@@ -2590,6 +2639,16 @@ def oracle_sql() -> dict[str, str]:
                            as host_rank
                   from documents)
             where host_rank <= 5
+        """,
+        "robots_sitemaps": """
+            select source,
+                   cast(row_number() over (partition by source
+                                           order by doc_id) - 1
+                        as bigint) as pos,
+                   'https://' || source || '.example/sm/' || doc_id || '.xml'
+                     as sitemap_url
+            from documents
+            where doc_id % 7 = 0
         """,
         "sitemap_parse": """
             select source,

@@ -499,45 +499,96 @@ class CrawlEngine:
     def _sitemap_seeds(self, fr: DataFrame) -> DataFrame:
         """Sitemap-advertised URLs for the seed hosts (opt-in S1 source,
         sitemaps.org protocol; no reference analog — the reference
-        follows anchors only). Plan shape: one filtered corpus-side
-        scan (url suffix pushes to the parquet scan) joined against a
-        BROADCAST of the seed-host set — the corpus never shuffles.
-        Entries normalize and in-batch dedup exactly like extracted
-        links (P1/A5), anti-join the seeds, and enter the frontier at
-        depth 1 with discovered_seq offset 2^20 so each host's FIFO is:
-        seeds first, then sitemap entries in file order (seed lists are
-        assumed < 2^20 rows; round-1 discoveries start at 2^40).
-        """
-        from webcrawler_spark.functions.sitemap import extract_sitemap_urls
+        follows anchors only).
 
-        sm_pages = self.pages_html.filter(
-            F.col("url").endswith("/sitemap.xml")
-        ).select(
-            host_col(F.col("url")).alias("sm_host"),
-            F.col("html").cast("string").alias("xml"),
+        Discovery (both halves of the public protocol):
+          1. ``Sitemap:`` directives in each seed host's robots.txt
+             (functions/sitemap.extract_robots_sitemaps) — the spec's
+             canonical advertisement channel, so custom paths like
+             ``/maps/news.xml`` are found;
+          2. the well-known ``/sitemap.xml`` path as a fallback probe
+             (what crawlers try when robots advertises nothing).
+        Fetched files that are sitemap INDEXES (``<sitemap>`` blocks)
+        are followed one level to their child files — the spec forbids
+        deeper nesting, so one hop is complete.
+
+        Plan shape: three pushed-filter corpus scans at init (suffix
+        scan for the well-known path; url equi-joins against BROADCASTs
+        of the advertised / child URL sets, which are bounded by
+        seed-host count × directives-per-file) — the corpus itself
+        never shuffles. Entries normalize and in-batch dedup exactly
+        like extracted links (P1/A5), anti-join the seeds, and enter
+        the frontier at depth 1 with discovered_seq offset 2^20 so each
+        host's FIFO is: seeds first, then sitemap entries ordered by
+        (file url, file position) (seed lists are assumed < 2^20 rows;
+        round-1 discoveries start at 2^40).
+        """
+        from webcrawler_spark.functions.sitemap import (
+            extract_robots_sitemaps,
+            extract_sitemap_urls,
         )
+
         seed_hosts = fr.select(F.col("host").alias("sm_host")).distinct()
-        entries = extract_sitemap_urls(
-            sm_pages.join(F.broadcast(seed_hosts), "sm_host"),
-            xml_col="xml",
-            id_col="sm_host",
+        xml_pages = self.pages_html.select(
+            "url", F.col("html").cast("string").alias("xml")
         )
+
+        # -- discovery: robots `Sitemap:` lines + well-known path -----
+        robots = self.pages_robots.select(
+            host_col(F.col("url")).alias("sm_host"),
+            F.col("html").cast("string").alias("robots_body"),
+        ).join(F.broadcast(seed_hosts), "sm_host")
+        advertised = (
+            extract_robots_sitemaps(robots, robots_col="robots_body", id_col="sm_host")
+            .select(normalize_url_udf(F.col("sitemap_url")).alias("sm_url"))
+            .filter(F.col("sm_url") != "")
+            .distinct()
+        )
+        wellknown = (
+            self.pages_html.filter(F.col("url").endswith("/sitemap.xml"))
+            .select(host_col(F.col("url")).alias("sm_host"), F.col("url"))
+            .join(F.broadcast(seed_hosts), "sm_host")
+            .select("url")
+        )
+        level0 = xml_pages.join(
+            F.broadcast(
+                advertised.select(F.col("sm_url").alias("url"))
+                .unionByName(wellknown)
+                .distinct()
+            ),
+            "url",
+        ).select(F.col("url").alias("sm_url"), "xml")
+
+        # -- index recursion (exactly one hop, per spec) ---------------
+        child_urls = (
+            extract_sitemap_urls(level0, xml_col="xml", id_col="sm_url", block="sitemap")
+            .select(normalize_url_udf(F.col("loc")).alias("url"))
+            .filter(F.col("url") != "")
+            .distinct()
+            .join(level0.select(F.col("sm_url").alias("url")), "url", "left_anti")
+        )
+        children = xml_pages.join(F.broadcast(child_urls), "url").select(
+            F.col("url").alias("sm_url"), "xml"
+        )
+        sm_pages = level0.unionByName(children)
+
+        entries = extract_sitemap_urls(sm_pages, xml_col="xml", id_col="sm_url")
         cand = (
             entries.select(
-                "sm_host", "pos", normalize_url_udf(F.col("loc")).alias("url")
+                "sm_url", "pos", normalize_url_udf(F.col("loc")).alias("url")
             )
             .withColumn("host", host_col(F.col("url")))
             .withColumn("resource", resource_col(F.col("url")))
             .filter(F.col("host") != "")                              # F8
         )
-        w_first = Window.partitionBy("url").orderBy("sm_host", "pos")
+        w_first = Window.partitionBy("url").orderBy("sm_url", "pos")
         cand = (
             cand.withColumn("_rn", F.row_number().over(w_first))      # A5
             .filter(F.col("_rn") == 1)
             .drop("_rn")
             .join(fr.select("url"), "url", "left_anti")
         )
-        w_disc = Window.partitionBy("host").orderBy("sm_host", "pos", "url")
+        w_disc = Window.partitionBy("host").orderBy("sm_url", "pos", "url")
         return cand.select(
             "url",
             "host",

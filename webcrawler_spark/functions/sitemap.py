@@ -27,6 +27,14 @@ from pyspark.sql import functions as F
 _BLOCK_PAT = {"url": r"(?s)<url>(.*?)</url>", "sitemap": r"(?s)<sitemap>(.*?)</sitemap>"}
 _LOC_PAT = r"<loc>\s*([^<]+?)\s*</loc>"
 _LASTMOD_PAT = r"<lastmod>\s*([^<]+?)\s*</lastmod>"
+# robots.txt discovery (sitemaps.org "Informing search engine crawlers"
+# + RFC 9309 §2.3's tolerance for unrecognized lines): `Sitemap:` is a
+# line-level directive, case-insensitive key, value runs to end of
+# line, outside any User-agent group. (?im) + [^\s#] are shared by
+# Java regex and RE2 so the DuckDB oracle evaluates the same pattern;
+# a trailing `#comment` is cut because the value itself never holds
+# whitespace or `#` (it is a URL).
+_ROBOTS_SITEMAP_PAT = r"(?im)^[ \t]*sitemap[ \t]*:[ \t]*([^\s#]+)"
 
 
 def extract_sitemap_urls(
@@ -65,4 +73,35 @@ def extract_sitemap_urls(
             F.when(lastmod != "", lastmod).alias("lastmod"),
         )
         .filter(F.col("loc") != "")
+    )
+
+
+def extract_robots_sitemaps(
+    df: DataFrame,
+    robots_col: str = "robots_body",
+    id_col: str = "host",
+) -> DataFrame:
+    """``Sitemap:`` directive extraction from robots.txt bodies —
+    the discovery half of the sitemaps.org protocol (the XML half is
+    :func:`extract_sitemap_urls`).
+
+    Output: (id_col, pos, sitemap_url) — ``pos`` is the 0-based
+    directive position within the file (document order), ``sitemap_url``
+    the raw advertised value (callers normalize it like any discovered
+    URL, P1). Multiple directives per file are the common case (one per
+    index/section); hosts advertising none produce no rows.
+
+    Scale notes: pure codegen regexp + bounded ``posexplode`` (robots
+    files are ~KB); zero shuffles, zero Python. The pattern is
+    Java∩RE2-portable so the DuckDB oracle runs it verbatim.
+    """
+    urls = F.regexp_extract_all(
+        F.col(robots_col), F.lit(_ROBOTS_SITEMAP_PAT), F.lit(1)
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(urls).alias("pos", "sitemap_url")
+    ).select(
+        F.col(id_col),
+        F.col("pos").cast("long").alias("pos"),
+        F.col("sitemap_url"),
     )
