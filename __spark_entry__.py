@@ -1551,6 +1551,50 @@ def _q_robots_sitemaps(spark, sf):
     return extract_robots_sitemaps(body, robots_col="robots_body", id_col="source")
 
 
+def _q_url_filter(spark, sf):
+    """RefinedWeb-style URL filtering: deterministic synthetic URLs
+    (every 13th doc on an `ads.` subdomain, every 11th/17th with a
+    lexicon word in the path), a 2-domain blocklist matched exact OR
+    by subdomain suffix via the ancestor-domain explode, and the
+    weighted word score with binary-exact weights (0.5/0.25, cut
+    0.625) so the float comparison is bit-identical in both engines."""
+    from webcrawler_spark.operators.urlfilter import url_filter
+
+    d = _docs(spark, sf)
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 13 == 0, F.lit("ads.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".example/d/"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 11 == 0, F.lit("-casino")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 17 == 0, F.lit("-poker")).otherwise(F.lit("")),
+    )
+    bl = spark.createDataFrame(
+        [("src3.example",), ("ads.src5.example",)], "domain string"
+    )
+    return url_filter(
+        d.select("doc_id", url.alias("url")),
+        bl,
+        {"casino": 0.5, "poker": 0.25},
+        threshold=0.625,
+    )
+
+
+def _q_leakage_split(spark, sf):
+    """Cluster-aware train/val/test split: near-dup clusters (the
+    duplicate_clusters pipeline at the same threshold) hash as a UNIT
+    to a split, so no near-duplicate pair straddles train/val. Rates
+    0.75/0.125/0.125 make every cumulative cut binary-exact."""
+    from webcrawler_spark.operators.mixing import leakage_safe_split
+
+    return leakage_safe_split(
+        _docs(spark, sf),
+        splits=(("train", 0.75), ("val", 0.125), ("test", 0.125)),
+        threshold=0.2,
+    )
+
+
 def _tuned(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
     """Apply runtime perf confs (JIT-compilable codegen limit etc.) to
     the harness-owned session before building the query — execution
@@ -1613,6 +1657,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": _q_domain_cap,
         "sitemap_parse": _q_sitemap_parse,
         "robots_sitemaps": _q_robots_sitemaps,
+        "url_filter": _q_url_filter,
+        "leakage_split": _q_leakage_split,
         "pack_chunks": _q_pack_chunks,
         "pack_greedy": _q_pack_greedy,
         "redact_pii": _q_redact_pii,
@@ -2639,6 +2685,84 @@ def oracle_sql() -> dict[str, str]:
                            as host_rank
                   from documents)
             where host_rank <= 5
+        """,
+        "url_filter": """
+            with u as (
+              select doc_id,
+                     'https://'
+                       || case when doc_id % 13 = 0 then 'ads.' else '' end
+                       || source || '.example/d/' || doc_id
+                       || case when doc_id % 11 = 0 then '-casino' else '' end
+                       || case when doc_id % 17 = 0 then '-poker' else '' end
+                       as url,
+                     case when doc_id % 13 = 0 then 'ads.' else '' end
+                       || source || '.example' as host
+              from documents),
+            s as (
+              select doc_id, url, host,
+                     (host = 'src3.example' or host like '%.src3.example'
+                      or host = 'ads.src5.example'
+                      or host like '%.ads.src5.example') as domain_blocked,
+                     (case when url like '%casino%' then 0.5
+                           else 0.0 end)
+                     + (case when url like '%poker%' then 0.25
+                             else 0.0 end) as word_score
+              from u)
+            select doc_id, url, host, domain_blocked,
+                   cast(word_score as double) as word_score,
+                   (not domain_blocked and word_score < 0.625) as keep
+            from s
+        """,
+        "leakage_split": f"""
+            with recursive {_SHINGLES_CTE},
+            sig as (
+              select doc_id, b.band_id,
+                     min(md5(b.band_id || '|' || shingle)) as band_min
+              from sh cross join
+                   (select unnest(['0','1','2','3']) as band_id) b
+              group by doc_id, b.band_id
+            ),
+            cand as (
+              select distinct l.doc_id as a, r.doc_id as b
+              from sig l join sig r using (band_id, band_min)
+              where l.doc_id < r.doc_id
+            ),
+            sizes as (select doc_id, count(*) as sz from sh group by doc_id),
+            inter as (
+              select c.a, c.b, count(*) as inter
+              from cand c
+              join sh sa on sa.doc_id = c.a
+              join sh sb on sb.doc_id = c.b and sb.shingle = sa.shingle
+              group by c.a, c.b
+            ),
+            pairs as (
+              select a, b from inter
+              join sizes sa on sa.doc_id = a
+              join sizes sb on sb.doc_id = b
+              where round(inter / (sa.sz + sb.sz - inter), 6) >= 0.2
+            ),
+            ed as (select a as u, b as v from pairs
+                   union select b as u, a as v from pairs),
+            reach as (
+              select u as node, u as root from ed
+              union
+              select e.v as node, r.root from reach r
+              join ed e on e.u = r.node
+            ),
+            comp as (select node, min(root) as component
+                     from reach group by node),
+            assign as (
+              select d.doc_id, coalesce(c.component, d.doc_id) as component
+              from documents d left join comp c on c.node = d.doc_id)
+            select doc_id, component,
+                   case when u < 0.75 then 'train'
+                        when u < 0.875 then 'val'
+                        else 'test' end as split
+            from (select doc_id, component,
+                         cast(('0x' || substring(
+                                 md5(cast(component as varchar)), 1, 8))
+                              as ubigint) / 4294967296.0 as u
+                  from assign)
         """,
         "robots_sitemaps": """
             select source,

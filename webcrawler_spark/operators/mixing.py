@@ -187,3 +187,52 @@ def domain_cap(
         survivors.withColumn("host_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("host_rank") <= k)
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    splits: tuple[tuple[str, float], ...] = (
+        ("train", 0.9),
+        ("val", 0.05),
+        ("test", 0.05),
+    ),
+    n: int = 3,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Cluster-aware train/val/test assignment: (doc, component, split)
+    where every member of a near-duplicate cluster lands in the SAME
+    split.
+
+    Splitting per-document leaks: a near-duplicate of a validation
+    document sitting in train makes held-out loss look better than it
+    is (the Lee et al. 2022 / Dolma motivation for dedup-aware splits).
+    The fix is to split by duplicate-cluster id, not document id:
+    near-dup clusters come from graph.duplicate_clusters (LSH→Jaccard
+    pairs chained by connected components; singletons are their own
+    cluster), then the cluster id hashes to a deterministic uniform
+    (mixing.uniform_hash_col) cut against the cumulative split rates.
+
+    Plan shape at scale: the clustering dominates (see
+    duplicate_clusters — bounded bucket joins + O(log n) CC rounds);
+    the split itself is one codegen projection on top, zero extra
+    shuffles, and bit-reproducible across engines and cluster sizes.
+    """
+    from webcrawler_spark.operators.graph import duplicate_clusters
+
+    rates = [float(r) for _, r in splits]
+    if abs(sum(rates) - 1.0) > 1e-9:
+        raise ValueError(f"split rates must sum to 1, got {sum(rates)}")
+    clusters = duplicate_clusters(docs, id_col, text_col, n, bands, threshold)
+    u = uniform_hash_col(F.col("component"))
+    expr = F.lit(splits[-1][0])
+    cum = 0.0
+    cuts = []
+    for name, rate in splits[:-1]:
+        cum += float(rate)
+        cuts.append((name, cum))
+    for name, cut in reversed(cuts):
+        expr = F.when(u < F.lit(cut), F.lit(name)).otherwise(expr)
+    return clusters.select(id_col, "component", expr.alias("split"))
