@@ -127,6 +127,20 @@ class CrawlConfig:
     # seeds. Robots, extension, and seen gates still apply to them at
     # scheduling time like any discovered link.
     use_sitemaps: bool = False
+    # URL-level filtering (opt-in; default OFF preserves reference
+    # parity — the reference's only URL gate is the extension
+    # blocklist, Parser.py:18-24): discovered links whose host is a
+    # listed domain (or any subdomain of one), or whose URL's weighted
+    # bad-word score reaches the threshold, never enter the frontier —
+    # the RefinedWeb §2.1 pre-fetch cut (operators/urlfilter.py). Both
+    # gates compile to pure codegen expressions (literal-array
+    # arrays_overlap over the ancestor-domain chain; a fixed when-sum)
+    # so the link path gains zero joins and zero shuffles. For
+    # UT1-scale million-row blocklists use the operator's join form on
+    # the corpus instead of this config list.
+    url_blocklist: Optional[list] = None
+    url_word_weights: Optional[dict] = None
+    url_word_threshold: float = 1.0
     collect_metrics: bool = True         # S7 per-round metrics table
     agent: str = "*"                     # Host.py:9
     # W4 executor: "native" = window-arithmetic virtual clock (codegen,
@@ -599,6 +613,31 @@ class CrawlEngine:
             .cast("long")
             .alias("discovered_seq"),
         )
+
+    def _url_filter_gate(self, links: DataFrame) -> DataFrame:
+        """Opt-in RefinedWeb-style URL cut on discovered links (see
+        CrawlConfig.url_blocklist / url_word_weights): both rules are
+        pure whole-stage-codegen filters — the blocklist is a literal
+        array checked with arrays_overlap against the link host's
+        ancestor-domain chain, the word score a fixed when-sum — so the
+        link-admission plan gains zero joins and zero shuffles."""
+        from webcrawler_spark.operators.urlfilter import (
+            ancestor_domains,
+            word_score_col,
+        )
+
+        cfg = self.cfg
+        out = links
+        if cfg.url_word_weights:
+            out = out.filter(
+                word_score_col(F.col("url"), cfg.url_word_weights)
+                < F.lit(float(cfg.url_word_threshold))
+            )
+        if cfg.url_blocklist:
+            bl = F.array(*[F.lit(d.lower()) for d in cfg.url_blocklist])
+            bare = F.substring_index(F.col("host"), "://", -1)
+            out = out.filter(~F.arrays_overlap(ancestor_domains(bare), bl))
+        return out
 
     def resume(self) -> None:
         """North_rule resumption: state scalars come back from the
@@ -1160,6 +1199,8 @@ class CrawlEngine:
             .withColumn("resource", resource_col(F.col("url")))
             .filter(F.col("host") != "")                                      # F8
         )
+        if cfg.url_blocklist or cfg.url_word_weights:
+            links = self._url_filter_gate(links)
         # A5 in-round dedup keeping the earliest discovery
         w_first = Window.partitionBy("url").orderBy(
             "parent_ts", "parent_prio", "parent_host"
