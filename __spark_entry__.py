@@ -1595,6 +1595,64 @@ def _q_leakage_split(spark, sf):
     )
 
 
+def _q_bpe_pair_counts(spark, sf):
+    """One BPE-trainer iteration's workhorse: adjacent symbol-pair
+    counts over the character-split distinct-pretoken table (Sennrich
+    2016 get_stats) — explode + one hash aggregate with map-side
+    combine; the corpus is read exactly once (word_freqs)."""
+    from webcrawler_spark.operators.bpe import (
+        init_symbols,
+        pair_counts,
+        word_freqs,
+    )
+
+    wf = word_freqs(_docs(spark, sf))
+    return pair_counts(init_symbols(wf)).select(
+        F.col("left").alias("lft"), F.col("right").alias("rgt"), "cnt"
+    )
+
+
+BPE_N_MERGES = 8
+
+
+def _q_bpe_merges(spark, sf):
+    """Distributed BPE training: learn 8 merges from the documents
+    corpus. Trainer state = the distinct-pretoken frequency table;
+    each merge = one shuffle + a 1-row collect (the model being
+    learned, like k-means centroids). Output is the merge table."""
+    from webcrawler_spark.operators.bpe import merges_df, train_bpe, word_freqs
+
+    merges, _ = train_bpe(word_freqs(_docs(spark, sf)), BPE_N_MERGES)
+    return merges_df(spark, merges).select(
+        F.col("rank").alias("mrank"),
+        F.col("left").alias("lft"),
+        F.col("right").alias("rgt"),
+        "cnt",
+    )
+
+
+def _q_bpe_encode(spark, sf):
+    """Apply BPE merges learned on the even-doc_id half to the held-out
+    odd half's distinct pretokens (train/apply separation): per-word
+    segmentation under the rank-ordered two-pass replace replay —
+    bit-identical between the native codegen path and the Arrow scale
+    path (tests assert it)."""
+    from webcrawler_spark.operators.bpe import (
+        apply_merges_native,
+        train_bpe,
+        word_freqs,
+    )
+
+    d = _docs(spark, sf)
+    merges, _ = train_bpe(
+        word_freqs(d.filter(F.col("doc_id") % 2 == 0)), BPE_N_MERGES
+    )
+    held = word_freqs(d.filter(F.col("doc_id") % 2 == 1)).select("word").distinct()
+    return apply_merges_native(held, merges).select(
+        "word", F.col("syms").alias("tokens")
+    )
+
+
 def _tuned(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
     """Apply runtime perf confs (JIT-compilable codegen limit etc.) to
     the harness-owned session before building the query — execution
@@ -1659,6 +1717,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_sitemaps": _q_robots_sitemaps,
         "url_filter": _q_url_filter,
         "leakage_split": _q_leakage_split,
+        "bpe_pair_counts": _q_bpe_pair_counts,
+        "bpe_merges": _q_bpe_merges,
+        "bpe_encode": _q_bpe_encode,
         "pack_chunks": _q_pack_chunks,
         "pack_greedy": _q_pack_greedy,
         "redact_pii": _q_redact_pii,
@@ -1887,6 +1948,116 @@ def _opic_oracle_sql(n_iter: int = 5) -> str:
         from s{n_iter}
         """
     )
+    return "".join(parts)
+
+
+# the GPT-2-style pretokenizer (textstats.BPE_PRETOKEN_RE) as a DuckDB
+# escaped-string literal — Java∩RE2-portable, shared with bpe_token_count
+_BPE_SQL_RE = r"e'\'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+'"
+
+
+def _bpe_oracle_sql(
+    output: str, n_merges: int = 8, train_where: str = ""
+) -> str:
+    """Unrolled BPE trainer mirroring operators/bpe.py bit-for-bit:
+    symbols are chr(31)-joined strings, a merge is the same two-pass
+    LTR non-overlapping replace, the winner is (cnt DESC, lft, rgt)
+    with exact integer counts. ``output``: 'pairs' = first-iteration
+    pair table; 'merges' = the learned merge table; 'encode' = the
+    merges replayed onto the odd-doc_id half's distinct pretokens."""
+    parts = [
+        f"""
+        with wf as materialized (
+          select word, count(*)::BIGINT as freq
+          from (select unnest(regexp_extract_all(text, {_BPE_SQL_RE}, 0))
+                         as word
+                from documents {train_where})
+          group by word),
+        w0 as materialized (
+          select word, freq,
+                 chr(31) || array_to_string(
+                   list_transform(generate_series(1, length(word)),
+                                  i -> substring(word, i, 1)), chr(31))
+                 || chr(31) as syms
+          from wf)
+        """
+    ]
+    if output == "pairs":
+        parts.append(
+            """
+        select l[k] as lft, l[k+1] as rgt, sum(freq)::BIGINT as cnt
+        from (select freq,
+                     list_filter(string_split(syms, chr(31)),
+                                 x -> x <> '') as l
+              from w0) s,
+             unnest(generate_series(1, len(l) - 1)) as u(k)
+        group by 1, 2
+        """
+        )
+        return "".join(parts)
+    for i in range(1, n_merges + 1):
+        pat = (
+            f"chr(31)||(select lft from t{i})||chr(31)"
+            f"||(select rgt from t{i})||chr(31)"
+        )
+        rep = f"chr(31)||(select lft from t{i})||(select rgt from t{i})||chr(31)"
+        parts.append(
+            f"""
+        , p{i} as materialized (
+          select l[k] as lft, l[k+1] as rgt, sum(freq)::BIGINT as cnt
+          from (select freq,
+                       list_filter(string_split(syms, chr(31)),
+                                   x -> x <> '') as l
+                from w{i - 1}) s,
+               unnest(generate_series(1, len(l) - 1)) as u(k)
+          group by 1, 2)
+        , t{i} as materialized (
+          select {i - 1} as mrank, lft, rgt, cnt from p{i}
+          order by cnt desc, lft asc, rgt asc limit 1)
+        , w{i} as materialized (
+          select word, freq,
+                 replace(replace(syms, {pat}, {rep}), {pat}, {rep}) as syms
+          from w{i - 1})
+        """
+        )
+    if output == "merges":
+        parts.append(
+            " union all ".join(
+                f"select mrank, lft, rgt, cnt from t{i}"
+                for i in range(1, n_merges + 1)
+            )
+        )
+        return "".join(parts)
+    assert output == "encode"
+    parts.append(
+        f"""
+        , a0 as materialized (
+          select word,
+                 chr(31) || array_to_string(
+                   list_transform(generate_series(1, length(word)),
+                                  i -> substring(word, i, 1)), chr(31))
+                 || chr(31) as syms
+          from (select distinct word
+                from (select unnest(regexp_extract_all(text,
+                                      {_BPE_SQL_RE}, 0)) as word
+                      from documents where doc_id % 2 = 1)))
+        """
+    )
+    for i in range(1, n_merges + 1):
+        pat = (
+            f"chr(31)||(select lft from t{i})||chr(31)"
+            f"||(select rgt from t{i})||chr(31)"
+        )
+        rep = f"chr(31)||(select lft from t{i})||(select rgt from t{i})||chr(31)"
+        parts.append(
+            f"""
+        , a{i} as materialized (
+          select word,
+                 replace(replace(syms, {pat}, {rep}), {pat}, {rep}) as syms
+          from a{i - 1})
+        """
+        )
+    parts.append(f"select word, syms as tokens from a{n_merges}")
     return "".join(parts)
 
 
@@ -2764,6 +2935,13 @@ def oracle_sql() -> dict[str, str]:
                               as ubigint) / 4294967296.0 as u
                   from assign)
         """,
+        "bpe_pair_counts": _bpe_oracle_sql("pairs"),
+        "bpe_merges": _bpe_oracle_sql("merges", n_merges=BPE_N_MERGES),
+        "bpe_encode": _bpe_oracle_sql(
+            "encode",
+            n_merges=BPE_N_MERGES,
+            train_where="where doc_id % 2 = 0",
+        ),
         "robots_sitemaps": """
             select source,
                    cast(row_number() over (partition by source

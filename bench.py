@@ -58,6 +58,8 @@ BENCH_QUERIES = [
     "source_report",
     "vocab_build",
     "encode_docs",
+    "bpe_merges",
+    "bpe_encode",
     "pack_chunks",
     "pack_greedy",
     "redact_pii",
