@@ -1653,6 +1653,33 @@ def _q_bpe_encode(spark, sf):
     )
 
 
+def _q_bpe_encode_ids(spark, sf):
+    """The text→subword→id last mile: BPE merges + vocabulary learned
+    on the even-doc_id half (vocab = base chars then merge products,
+    GPT-2 id order), the odd half tokenized to training-ready id
+    sequences; unseen pieces → -1. One corpus shuffle (per-doc
+    reassembly); vocab and word→pieces maps are broadcasts."""
+    from webcrawler_spark.operators.bpe import (
+        encode_ids,
+        train_bpe,
+        vocab_from_merges,
+        word_freqs,
+    )
+
+    d = _docs(spark, sf)
+    train_wf = word_freqs(d.filter(F.col("doc_id") % 2 == 0))
+    merges, _ = train_bpe(train_wf, BPE_N_MERGES)
+    vocab = vocab_from_merges(train_wf.select("word"), merges)
+    enc = encode_ids(d.filter(F.col("doc_id") % 2 == 1), merges, vocab)
+    # id sequence serialized for the hash compare (array-column canon
+    # differs between drivers); the operator itself returns array<int>
+    return enc.select(
+        "doc_id",
+        F.array_join(F.transform("ids", lambda x: x.cast("string")), " ")
+        .alias("ids_str"),
+    )
+
+
 def _tuned(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
     """Apply runtime perf confs (JIT-compilable codegen limit etc.) to
     the harness-owned session before building the query — execution
@@ -1720,6 +1747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pair_counts": _q_bpe_pair_counts,
         "bpe_merges": _q_bpe_merges,
         "bpe_encode": _q_bpe_encode,
+        "bpe_encode_ids": _q_bpe_encode_ids,
         "pack_chunks": _q_pack_chunks,
         "pack_greedy": _q_pack_greedy,
         "redact_pii": _q_redact_pii,
@@ -2028,7 +2056,7 @@ def _bpe_oracle_sql(
             )
         )
         return "".join(parts)
-    assert output == "encode"
+    assert output in ("encode", "ids")
     parts.append(
         f"""
         , a0 as materialized (
@@ -2057,7 +2085,53 @@ def _bpe_oracle_sql(
           from a{i - 1})
         """
         )
-    parts.append(f"select word, syms as tokens from a{n_merges}")
+    if output == "encode":
+        parts.append(f"select word, syms as tokens from a{n_merges}")
+        return "".join(parts)
+    # ids: vocab = training base chars (lexicographic) then merge
+    # products (min id on collisions); odd docs reassembled to id
+    # sequences, unseen pieces -> -1
+    merge_rows = " union all ".join(
+        f"select (select lft from t{i})||(select rgt from t{i}) as piece,"
+        f" (select c from bcn) + {i - 1} as id"
+        for i in range(1, n_merges + 1)
+    )
+    parts.append(
+        f"""
+        , bc as materialized (
+          select distinct substring(word, i, 1) as piece
+          from wf, unnest(generate_series(1, length(word))) as u(i))
+        , bcn as materialized (select count(*) as c from bc)
+        , vocab as materialized (
+          select piece, min(id)::INT as id from (
+            select piece, row_number() over (order by piece) - 1 as id
+            from bc
+            union all {merge_rows})
+          group by piece)
+        , ow as materialized (
+          select doc_id, k, l[k] as word
+          from (select doc_id,
+                       regexp_extract_all(text, {_BPE_SQL_RE}, 0) as l
+                from documents where doc_id % 2 = 1) s,
+               unnest(generate_series(1, len(l))) as u(k))
+        , seg as materialized (
+          select word,
+                 list_filter(string_split(syms, chr(31)),
+                             x -> x <> '') as pieces
+          from a{n_merges})
+        , pc as materialized (
+          select doc_id, k, j, pieces[j] as piece
+          from (select ow.doc_id, ow.k, seg.pieces
+                from ow join seg using (word)) p,
+               unnest(generate_series(1, len(pieces))) as u2(j))
+        select doc_id,
+               array_to_string(
+                 array_agg(coalesce(vocab.id, -1) order by k, j), ' ')
+                 as ids_str
+        from pc left join vocab using (piece)
+        group by doc_id
+        """
+    )
     return "".join(parts)
 
 
@@ -2939,6 +3013,11 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": _bpe_oracle_sql("merges", n_merges=BPE_N_MERGES),
         "bpe_encode": _bpe_oracle_sql(
             "encode",
+            n_merges=BPE_N_MERGES,
+            train_where="where doc_id % 2 = 0",
+        ),
+        "bpe_encode_ids": _bpe_oracle_sql(
+            "ids",
             n_merges=BPE_N_MERGES,
             train_where="where doc_id % 2 = 0",
         ),

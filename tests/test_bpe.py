@@ -142,6 +142,44 @@ def test_word_freqs_uses_pretokenizer(spark):
     assert wf == {"the": 1, " cat": 1, " the": 1, " hat": 1}
 
 
+def test_vocab_ids_are_chars_then_merges(spark):
+    from webcrawler_spark.operators.bpe import vocab_from_merges
+
+    wf = _wf_df(spark, {"ab": 3, "ba": 1})
+    merges, _ = train_bpe(wf, 1)  # learns (a, b)
+    vocab = {
+        r["piece"]: r["id"]
+        for r in vocab_from_merges(wf.select("word"), merges).collect()
+    }
+    assert vocab == {"a": 0, "b": 1, "ab": 2}
+
+
+def test_encode_ids_matches_reference_and_maps_unseen_to_unk(spark):
+    from webcrawler_spark.operators.bpe import encode_ids, vocab_from_merges
+
+    corpus = spark.createDataFrame(
+        [(0, "low lower"), (1, "newest low")], "doc_id long, text string"
+    )
+    wf = word_freqs(corpus)
+    merges, _ = train_bpe(wf, 4)
+    vocab_df = vocab_from_merges(wf.select("word"), merges)
+    vocab = {r["piece"]: r["id"] for r in vocab_df.collect()}
+    # base chars lexicographic from 0, merge products after
+    base = sorted(p for p in vocab if len(p) == 1)
+    assert [vocab[p] for p in base] == list(range(len(base)))
+    held = spark.createDataFrame([(9, "low zz")], "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["ids"]
+        for r in encode_ids(held, merges, vocab_df).collect()
+    }
+    want = []
+    for i, w in enumerate("low zz".split(" ")):
+        for piece in _ref_segment(w if i == 0 else " " + w, merges):
+            want.append(vocab.get(piece, -1))
+    assert out[9] == want
+    assert -1 in out[9]  # 'z' never seen in training
+
+
 def test_encode_reassembles_in_order(spark):
     corpus = spark.createDataFrame(
         [(0, "low lower"), (1, "newest low")], "doc_id long, text string"

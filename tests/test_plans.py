@@ -39,6 +39,8 @@ AUDITED = [
     "domain_cap",
     "sitemap_parse",
     "exact_substring_dedup",
+    "bpe_pair_counts",
+    "bpe_encode",
 ]
 
 FORBIDDEN = ["CartesianProduct", "SinglePartition", "SortMergeJoin"]

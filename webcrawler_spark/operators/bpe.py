@@ -217,6 +217,78 @@ def apply_merges_pandas(
     return words.mapInPandas(seg, schema=f"{fields}, syms string")
 
 
+def vocab_from_merges(
+    train_words: DataFrame,
+    merges: Sequence[tuple[int, str, str, int]],
+    word_col: str = "word",
+) -> DataFrame:
+    """(piece, id): the GPT-2-style vocabulary — the training corpus's
+    base characters get ids 0..C-1 in lexicographic order, merge
+    product k gets id C+k (vocab ids ARE the merge order, like the
+    published GPT-2 vocab files). Duplicate piece strings (a merge
+    product colliding with another) keep the MIN id, deterministically.
+    The table is characters + merges — kilobytes at any corpus size,
+    always broadcastable."""
+    w = F.col(word_col)
+    chars = sorted(
+        r["piece"]
+        for r in train_words.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(w)),
+                    lambda i: w.substr(i, F.lit(1)),
+                )
+            ).alias("piece")
+        )
+        .distinct()
+        .collect()
+    )
+    # the vocab, like the merge list, is driver model state: alphabet
+    # + n_merges rows, kilobytes at any corpus size
+    rows = [(c, i) for i, c in enumerate(chars)] + [
+        (left + right, len(chars) + rank) for rank, left, right, _ in merges
+    ]
+    spark = train_words.sparkSession
+    return (
+        spark.createDataFrame(rows, "piece string, id int")
+        .groupBy("piece")
+        .agg(F.min("id").cast("int").alias("id"))
+    )
+
+
+def encode_ids(
+    df: DataFrame,
+    merges: Sequence[tuple[int, str, str, int]],
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pattern: str = BPE_PRETOKEN_RE,
+    unk_id: int = -1,
+) -> DataFrame:
+    """(id, ids array<int>): the corpus as training-ready token-id
+    sequences — the text→subword→id last mile feeding packing.
+    Pieces absent from the vocabulary (held-out characters the trainer
+    never saw) map to ``unk_id``. One corpus shuffle (the per-doc
+    reassembly); the vocab join is a broadcast."""
+    toks = encode(df, merges, text_col=text_col, id_col=id_col, pattern=pattern)
+    return (
+        toks.select(id_col, F.posexplode("tokens").alias("pos", "piece"))
+        .join(F.broadcast(vocab), "piece", "left")
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "id")))
+            .id.alias("_ids")
+        )
+        .select(
+            id_col,
+            F.transform(
+                F.col("_ids"),
+                lambda x: F.coalesce(x, F.lit(unk_id)).cast("int"),
+            ).alias("ids"),
+        )
+    )
+
+
 def encode(
     df: DataFrame,
     merges: Sequence[tuple[int, str, str, int]],
