@@ -1680,6 +1680,19 @@ def _q_bpe_encode_ids(spark, sf):
     )
 
 
+def _q_temperature_mixture(spark, sf):
+    """Temperature-scaled source sampling (XLM-R/mT5 mixture law,
+    T=2): per-source keep rates derived from observed source sizes
+    (p_s ∝ √n_s, up-weighting tail sources), applied as the
+    deterministic md5 cut. The rate table is driver model state from
+    one tiny aggregate; the corpus pass is a pure filter."""
+    from webcrawler_spark.operators.mixing import temperature_mixture
+
+    return temperature_mixture(
+        _docs(spark, sf), temperature=2.0, target_frac=0.5
+    ).select("doc_id", "source", "rate")
+
+
 def _tuned(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
     """Apply runtime perf confs (JIT-compilable codegen limit etc.) to
     the harness-owned session before building the query — execution
@@ -1748,6 +1761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": _q_bpe_merges,
         "bpe_encode": _q_bpe_encode,
         "bpe_encode_ids": _q_bpe_encode_ids,
+        "temperature_mixture": _q_temperature_mixture,
         "pack_chunks": _q_pack_chunks,
         "pack_greedy": _q_pack_greedy,
         "redact_pii": _q_redact_pii,
@@ -3021,6 +3035,27 @@ def oracle_sql() -> dict[str, str]:
             n_merges=BPE_N_MERGES,
             train_where="where doc_id % 2 = 0",
         ),
+        # T=2 tier: sqrt is IEEE-exact on every engine; denominator is
+        # a left-to-right fold in sorted source order, rates rounded to
+        # 6 decimals — the exact recipe temperature_rates pins
+        "temperature_mixture": """
+            with c as (select source as s, count(*)::BIGINT as n
+                       from documents group by source),
+            tot as (select sum(n)::DOUBLE as total from c),
+            den as (select list_reduce(list(sqrt(n::DOUBLE) order by s),
+                                       (a, b) -> a + b) as d from c),
+            r as (select s,
+                         round(least(1.0,
+                           (0.5 * (select total from tot))
+                             * sqrt(n::DOUBLE) / (select d from den) / n),
+                           6) as rate
+                  from c)
+            select d.doc_id, d.source, r.rate
+            from documents d join r on r.s = d.source
+            where cast(('0x' || substring(md5(cast(d.doc_id as varchar)),
+                                          1, 8)) as ubigint)
+                    / 4294967296.0 < r.rate
+        """,
         "robots_sitemaps": """
             select source,
                    cast(row_number() over (partition by source

@@ -138,3 +138,57 @@ def test_duplicated_ngrams_native_hash_parity(corpus):
         for r in duplicated_ngrams(corpus, k=8, native_hash=True).collect()
     )
     assert a == b
+
+
+# --- temperature-scaled source sampling ------------------------------
+def _temp_corpus(spark):
+    rows = []
+    for s, n in [("head", 80), ("mid", 16), ("tail", 4)]:
+        for i in range(n):
+            rows.append((len(rows), s))
+    return spark.createDataFrame(rows, "doc_id long, source string")
+
+
+def test_temperature_rates_hand_computed(spark):
+    from webcrawler_spark.operators.mixing import temperature_rates
+
+    df = _temp_corpus(spark)
+    rates = temperature_rates(df, temperature=2.0, target_frac=0.5)
+    denom = math.sqrt(80.0) + math.sqrt(16.0) + math.sqrt(4.0)
+    want = {
+        s: round(min(1.0, 50.0 * math.sqrt(float(n)) / denom / n), 6)
+        for s, n in [("head", 80), ("mid", 16), ("tail", 4)]
+    }
+    assert rates == want
+    # T up-weights the tail: per-DOC keep rate grows as source shrinks
+    assert rates["tail"] > rates["mid"] > rates["head"]
+
+
+def test_temperature_one_is_proportional(spark):
+    from webcrawler_spark.operators.mixing import temperature_rates
+
+    rates = temperature_rates(
+        _temp_corpus(spark), temperature=1.0, target_frac=0.25
+    )
+    assert set(rates.values()) == {0.25}
+
+
+def test_temperature_mixture_deterministic_and_expected_size(spark):
+    from webcrawler_spark.operators.mixing import (
+        temperature_mixture,
+        temperature_rates,
+    )
+
+    df = _temp_corpus(spark)
+    a = {r["doc_id"] for r in temperature_mixture(df).collect()}
+    b = {
+        r["doc_id"]
+        for r in temperature_mixture(df.repartition(7)).collect()
+    }
+    assert a == b
+    # expectation law: sum_s rate_s * n_s == target_total, on a target
+    # small enough that no source clips at rate 1.0
+    rates = temperature_rates(df, target_frac=0.2)
+    assert max(rates.values()) < 1.0
+    exp = rates["head"] * 80 + rates["mid"] * 16 + rates["tail"] * 4
+    assert abs(exp - 20.0) < 1e-3

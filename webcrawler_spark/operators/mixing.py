@@ -61,6 +61,72 @@ def mixture_sample(
     return df.where(uniform_hash_col(F.col(id_col)) < rate)
 
 
+def temperature_rates(
+    df: DataFrame,
+    temperature: float = 2.0,
+    target_frac: float = 0.5,
+    source_col: str = "source",
+) -> dict[str, float]:
+    """Per-source keep rates for temperature-scaled sampling (the
+    XLM-R / mT5 mixture law, Conneau et al. 2020 §3.1 public recipe):
+    sample source s with probability p_s ∝ n_s^(1/T), i.e. T > 1
+    up-weights small sources against the head-heavy web distribution.
+    keep_rate_s = min(1, target_total · p_s / n_s) realizes the target
+    corpus size in expectation.
+
+    The rate table is driver model state (one row per source —
+    centroid-sized at any corpus scale) computed from ONE tiny hash
+    aggregate. Float determinism: the denominator is a left-to-right
+    fold over sources in sorted order and every rate is rounded to 6
+    decimals, so a SQL engine replaying the same recipe lands on the
+    same doubles and the same keep decisions (mixture_sample's md5
+    cut is already engine-exact)."""
+    import math
+
+    counts = {
+        r["s"]: r["n"]
+        for r in df.groupBy(F.col(source_col).alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    total = sum(counts.values())
+    alpha = 1.0 / float(temperature)
+    # T=2 is the oracle tier: sqrt is IEEE-correctly-rounded everywhere,
+    # pow(x, 0.5) need not be — keep the SQL-replayable path exact
+    if alpha == 0.5:
+        weights = {s: math.sqrt(float(n)) for s, n in counts.items()}
+    else:
+        weights = {s: math.pow(float(n), alpha) for s, n in counts.items()}
+    denom = 0.0
+    for s in sorted(weights):  # pinned fold order (oracle replays it)
+        denom = denom + weights[s]
+    target_total = float(target_frac) * total
+    return {
+        s: round(min(1.0, target_total * weights[s] / denom / counts[s]), 6)
+        for s in counts
+    }
+
+
+def temperature_mixture(
+    df: DataFrame,
+    temperature: float = 2.0,
+    target_frac: float = 0.5,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-scaled source sampling: rates derived from the
+    observed source sizes (temperature_rates), applied as the
+    deterministic md5 cut — bit-reproducible at any parallelism and
+    across engines. Adds the applied ``rate`` column."""
+    rates = temperature_rates(df, temperature, target_frac, source_col)
+    rate = F.lit(0.0)
+    for s, r in sorted(rates.items()):
+        rate = F.when(F.col(source_col) == s, F.lit(float(r))).otherwise(rate)
+    return df.withColumn("rate", rate).where(
+        uniform_hash_col(F.col(id_col)) < F.col("rate")
+    )
+
+
 def source_report(
     df: DataFrame,
     source_col: str = "source",
