@@ -1017,6 +1017,44 @@ def _q_stateful_schedule(spark, sf):
     )
 
 
+def _q_stream_lsh_dedup(spark, sf):
+    """§2.8 — streaming MinHash-LSH near-dup filter: per-bucket
+    first-claimant state (applyInPandasWithState keyed by (band_id,
+    band_min)), drained AvailableNow over the documents corpus with
+    arrival = doc_id; per-doc verdict = min colliding owner.
+    Value-checked: with arrival order = id order, owner(bucket) is the
+    bucket's min doc_id, which DuckDB replays from the shared shingle
+    CTE (cross-micro-batch state continuity is pinned in
+    tests/test_streaming.py)."""
+    import tempfile
+
+    from webcrawler_spark.operators.dedup import minhash_signatures
+    from webcrawler_spark.streaming.stateful import lsh_collision_stream
+
+    root = tempfile.mkdtemp(prefix="wcspark-lshc-")
+    sig_ddl = "band_id string, band_min string, doc_id long, arrival_ts double"
+    minhash_signatures(_docs(spark, sf)).withColumn(
+        "arrival_ts", F.col("doc_id").cast("double")
+    ).coalesce(1).write.parquet(f"{root}/sig")
+    q = (
+        lsh_collision_stream(
+            spark.readStream.schema(sig_ddl).parquet(f"{root}/sig")
+        )
+        .writeStream.format("parquet")
+        .option("path", f"{root}/out")
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(f"{root}/out")
+        .groupBy("doc_id")
+        .agg(F.min("owner_id").alias("dup_of"))
+    )
+
+
 def _q_crawl_rowsonly(spark, sf):
     """The crawl itself at this scale factor (quiescence run, no budget):
     per-host attempted/fetched counts from the seen table."""
@@ -1791,6 +1829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_rowsonly": _q_multimodal_rowsonly,
         "warc_roundtrip": _q_warc_roundtrip,
         "stateful_schedule": _q_stateful_schedule,
+        "stream_lsh_dedup": _q_stream_lsh_dedup,
         "hll_registers": _q_hll_registers,
         "hll_estimate": _q_hll_estimate,
         "cms_registers": _q_cms_registers,
@@ -2277,6 +2316,24 @@ def oracle_sql() -> dict[str, str]:
             select distinct l.doc_id as a, r.doc_id as b
             from sig l join sig r using (band_id, band_min)
             where l.doc_id < r.doc_id
+        """,
+        "stream_lsh_dedup": f"""
+            with {_SHINGLES_CTE},
+            sig as (
+              select doc_id, b.band_id,
+                     min(md5(b.band_id || '|' || shingle)) as band_min
+              from sh cross join
+                   (select unnest(['0','1','2','3']) as band_id) b
+              group by doc_id, b.band_id
+            ),
+            own as (
+              select band_id, band_min, min(doc_id) as owner
+              from sig group by band_id, band_min
+            )
+            select s.doc_id, min(o.owner) as dup_of
+            from sig s join own o using (band_id, band_min)
+            where o.owner < s.doc_id
+            group by s.doc_id
         """,
         "incremental_dedup": f"""
             with {_SHINGLES_CTE},

@@ -162,3 +162,68 @@ def test_first_seen_filter_emits_once(spark, tmp_path_factory):
     assert {r["url"] for r in rows} == {
         "https://a.x/1", "https://b.x/1", "https://c.x/1"
     }
+
+
+def test_lsh_collision_stream_matches_batch_law(spark, tmp_path_factory):
+    """Streaming bucket ownership ≡ the batch law: owner(bucket) =
+    first (arrival, id) claimant globally; a doc is a near-dup
+    candidate iff any of its buckets is owned by another doc — and a
+    second micro-batch keeps colliding against batch-1 owners."""
+    from webcrawler_spark.operators.dedup import minhash_signatures
+    from webcrawler_spark.streaming.stateful import lsh_collision_stream
+
+    root = str(tmp_path_factory.mktemp("lshc"))
+    docs1 = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "the quick brown fox jumps over the lazy cat"),  # near-dup of 0
+            (2, "completely different text about spark shuffles"),
+        ],
+        "doc_id long, text string",
+    )
+    sig_ddl = "band_id string, band_min string, doc_id long, arrival_ts double"
+    sig1 = minhash_signatures(docs1).withColumn(
+        "arrival_ts", F.col("doc_id").cast("double")
+    )
+    sig_dir = f"{root}/sig"
+    sig1.coalesce(1).write.parquet(sig_dir)
+
+    out = _drain(
+        lsh_collision_stream(spark.readStream.schema(sig_ddl).parquet(sig_dir)),
+        root,
+        "lsh",
+    )
+    col1 = spark.read.parquet(out).collect()
+    dups1 = {r["doc_id"] for r in col1}
+    assert dups1 == {1}                       # doc1 collides with doc0
+    assert {r["owner_id"] for r in col1} == {0}
+    # batch-law cross-check: owner = min doc per bucket
+    sig_pd = sig1.toPandas()
+    owners = sig_pd.groupby(["band_id", "band_min"])["doc_id"].min()
+    want = {
+        int(r.doc_id)
+        for r in sig_pd.itertuples()
+        if owners[(r.band_id, r.band_min)] < r.doc_id
+    }
+    assert dups1 == want
+
+    # batch 2: a copy of doc0's text arrives later -> collides against
+    # the STATE owner from batch 1; a fresh text does not
+    docs2 = spark.createDataFrame(
+        [
+            (7, "the quick brown fox jumps over the lazy dog"),
+            (8, "unrelated fresh content nothing shared here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    minhash_signatures(docs2).withColumn(
+        "arrival_ts", F.col("doc_id").cast("double")
+    ).coalesce(1).write.mode("append").parquet(sig_dir)
+    _drain(
+        lsh_collision_stream(spark.readStream.schema(sig_ddl).parquet(sig_dir)),
+        root,
+        "lsh",
+    )
+    rows = spark.read.parquet(out).collect()
+    assert {r["doc_id"] for r in rows} == {1, 7}
+    assert all(r["owner_id"] == 0 for r in rows if r["doc_id"] == 7)
