@@ -1731,6 +1731,36 @@ def _q_temperature_mixture(spark, sf):
     ).select("doc_id", "source", "rate")
 
 
+def _q_skew_stats(spark, sf):
+    """Skew diagnosis: top user_ids by event count with corpus-level
+    context (share, max/mean skew ratio) — two map-side-combined
+    aggregates + TakeOrderedAndProject, never a collect. The MEASURE
+    half of the explicit skew handling the engine's O9 salting is the
+    repair for."""
+    from webcrawler_spark.operators.skew import key_skew_stats
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return key_skew_stats(ev, "user_id", top_k=5)
+
+
+def _q_salted_join(spark, sf):
+    """Hot-key shuffle-join repair: events salted-joined to a per-user
+    dim on (user_id, salt) — the dim replicated n_salt times, each hot
+    user spread over n_salt shuffle partitions. Result is row-for-row
+    the plain join (the oracle IS the plain SQL join)."""
+    from webcrawler_spark.operators.skew import salted_join
+
+    ev = spark.read.parquet(f"{sf}/events.parquet").select(
+        "event_id", "user_id"
+    )
+    dim = (
+        ev.select("user_id")
+        .distinct()
+        .withColumn("cohort", (F.col("user_id") % 7).cast("int"))
+    )
+    return salted_join(ev, dim.hint("shuffle_hash"), "user_id", n_salt=8)
+
+
 def _tuned(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
     """Apply runtime perf confs (JIT-compilable codegen limit etc.) to
     the harness-owned session before building the query — execution
@@ -1800,6 +1830,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": _q_bpe_encode,
         "bpe_encode_ids": _q_bpe_encode_ids,
         "temperature_mixture": _q_temperature_mixture,
+        "skew_stats": _q_skew_stats,
+        "salted_join": _q_salted_join,
         "pack_chunks": _q_pack_chunks,
         "pack_greedy": _q_pack_greedy,
         "redact_pii": _q_redact_pii,
@@ -3095,6 +3127,27 @@ def oracle_sql() -> dict[str, str]:
         # T=2 tier: sqrt is IEEE-exact on every engine; denominator is
         # a left-to-right fold in sorted source order, rates rounded to
         # 6 decimals — the exact recipe temperature_rates pins
+        "skew_stats": """
+            with c as (select user_id as key, count(*)::BIGINT as cnt
+                       from events group by user_id),
+            g as (select sum(cnt)::BIGINT as n_rows,
+                         count(*)::BIGINT as n_keys,
+                         max(cnt)::BIGINT as max_cnt from c),
+            top as (select key, cnt,
+                           row_number() over (order by cnt desc, key asc)
+                             as krank
+                    from c order by cnt desc, key asc limit 5)
+            select krank, key, cnt,
+                   round(cnt / n_rows, 6) as share,
+                   n_rows, n_keys, max_cnt,
+                   round((max_cnt * n_keys) / n_rows, 6) as skew_ratio
+            from top cross join g
+        """,
+        "salted_join": """
+            select e.event_id, e.user_id,
+                   cast(e.user_id % 7 as int) as cohort
+            from events e
+        """,
         "temperature_mixture": """
             with c as (select source as s, count(*)::BIGINT as n
                        from documents group by source),
