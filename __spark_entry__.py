@@ -1427,6 +1427,20 @@ def _q_cms_topk_est(spark, sf):
     )
 
 
+def _q_hdr_quantiles(spark, sf):
+    """HDR log-linear histogram quantiles (Tene's HdrHistogram bucket
+    design as the third mergeable sketch): per-source p50/p90/p99 of
+    document length. Bucket counts map-side combine like HLL/CMS
+    registers; the quantile read is a bounded codegen aggregate over
+    the sorted bucket array — no global sort, no un-partitioned
+    window. Integer-only bucketing, bit-exact oracle."""
+    from webcrawler_spark.operators.sketches import hdr_histogram, hdr_quantiles
+
+    return hdr_quantiles(
+        hdr_histogram(_docs(spark, sf), "n_chars", key="source"), key="source"
+    )
+
+
 def _q_exact_substring_dedup(spark, sf):
     """Lee et al. 2022 exact-substring span removal: every 8-token
     window occurring >= 2 times in the corpus is cut; overlapping
@@ -1480,6 +1494,113 @@ def _q_c4_clean(spark, sf):
     from webcrawler_spark.operators.cleaning import c4_line_filter
 
     return c4_line_filter(_lined_docs(spark, sf), min_words=3)
+
+
+def _q_cleaning_funnel(spark, sf):
+    """End-to-end cleaning funnel — the three tiers composed in the
+    order a production corpus runs them: C4 line filter (within-doc)
+    -> Gopher doc-stats gate (per-doc) -> exact text dedup (corpus).
+    One row of per-stage survivor counts (n_raw, n_c4, n_gopher,
+    n_unique). Plan: two codegen projections + one distinct shuffle
+    on the cleaned text + two single-row aggregates crossJoined —
+    nothing in the funnel collects a document to the driver."""
+    from webcrawler_spark.operators.cleaning import (
+        c4_line_filter,
+        gopher_quality_flags,
+    )
+
+    c4 = c4_line_filter(_lined_docs(spark, sf), min_words=3)
+    flat = c4.select(
+        "doc_id",
+        F.regexp_replace("clean_text", "\n", " ").alias("text"),
+        F.col("keep").alias("keep_c4"),
+    )
+    # re-crawl mirrors (every 37th doc appears twice under a new id) so
+    # the dedup stage has real duplicates to cut
+    flat = flat.unionByName(
+        flat.where("doc_id % 37 = 0").select(
+            (F.col("doc_id") + F.lit(1000000000)).alias("doc_id"),
+            "text",
+            "keep_c4",
+        )
+    )
+    a = flat.agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum(F.col("keep_c4").cast("long")).alias("n_c4"),
+    )
+    kept = flat.where("keep_c4")
+    gop = gopher_quality_flags(
+        kept,
+        min_words=20,
+        max_words=80,
+        min_avg_word_len=3.0,
+        max_avg_word_len=10.0,
+        max_symbol_ratio=0.1,
+        min_stopword_hits=2,
+        max_dup_2gram_ratio=0.05,
+    ).select("doc_id", "keep")
+    surv = kept.join(gop.where("keep"), "doc_id")
+    b = surv.agg(
+        F.count(F.lit(1)).alias("n_gopher"),
+        F.countDistinct("text").alias("n_unique"),
+    )
+    return a.crossJoin(b)
+
+
+def _block_docs(spark, sf):
+    """Documents as a deterministic jusText block table (doc_id, pos,
+    text, link_chars): words chunk into 14-word base blocks; block i's
+    md5(doc_id#i) byte picks a variant — h%4==0 prepends 20 stopwords
+    and triples the base (the long/high-stopword 'good' shape),
+    h%4==1 prepends 6 stopwords (the 'neargood' shape), else the bare
+    base ('bad', or 'short' on the partial tail block) — and a link
+    budget: h%5==4 fully linked, h%5==3 one-third linked (both over
+    the 20% link-density bar), h%7==0 a 5-char anchor, else none.
+    The oracle replays the construction verbatim in SQL."""
+    d = _docs(spark, sf)
+    ws = F.split(F.col("text"), " ")
+    nseg = F.greatest(F.ceil(F.size(ws) / 14.0).cast("int"), F.lit(1))
+    pad10 = "the of and to in is on for with a"
+
+    def mk_block(i):
+        base = F.array_join(F.slice(ws, (i - 1) * 14 + 1, 14), " ")
+        h = F.conv(
+            F.substring(F.md5(F.concat_ws("#", F.col("doc_id"), i)), 1, 2), 16, 10
+        ).cast("long")
+        btext = (
+            F.when(
+                h % 4 == 0,
+                F.concat_ws(" ", F.lit(pad10), F.lit(pad10), base, base, base),
+            )
+            .when(h % 4 == 1, F.concat_ws(" ", F.lit("the of and to in is"), base))
+            .otherwise(base)
+        )
+        link = (
+            F.when(h % 5 == 4, F.length(btext).cast("long"))
+            .when(h % 5 == 3, F.floor(F.length(btext) / 3))
+            .when(h % 7 == 0, F.lit(5).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+        return F.struct(btext.alias("text"), link.alias("link_chars"))
+
+    blocks = F.transform(F.sequence(F.lit(1), nseg), mk_block)
+    return d.select(F.col("doc_id"), F.posexplode(blocks).alias("pos", "b")).select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("b.text").alias("text"),
+        F.col("b.link_chars").alias("link_chars"),
+    )
+
+
+def _q_justext_blocks(spark, sf):
+    """jusText boilerplate classification (Pomikalek 2011): per-block
+    context-free class from integer-cross-multiplied link/stopword/
+    length thresholds (bit-exact, no float densities), then
+    context-sensitive smoothing from the nearest certain neighbours —
+    one doc_id-partitioned window pass, zero joins."""
+    from webcrawler_spark.operators.boilerplate import classify_blocks
+
+    return classify_blocks(_block_docs(spark, sf))
 
 
 def _q_domain_cap(spark, sf):
@@ -1820,6 +1941,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_priority": _q_rank_priority,
         "exact_substring_dedup": _q_exact_substring_dedup,
         "c4_clean": _q_c4_clean,
+        "justext_blocks": _q_justext_blocks,
+        "cleaning_funnel": _q_cleaning_funnel,
         "domain_cap": _q_domain_cap,
         "sitemap_parse": _q_sitemap_parse,
         "robots_sitemaps": _q_robots_sitemaps,
@@ -1866,6 +1989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_estimate": _q_hll_estimate,
         "cms_registers": _q_cms_registers,
         "cms_topk_est": _q_cms_topk_est,
+        "hdr_quantiles": _q_hdr_quantiles,
         "crawl_rowsonly": _q_crawl_rowsonly,
     }
     return {name: _tuned(fn) for name, fn in q.items()}
@@ -3025,6 +3149,167 @@ def oracle_sql() -> dict[str, str]:
                     and len(kept) >= 1) as keep
             from f
         """,
+        "cleaning_funnel": """
+            with s as (select doc_id, string_split(text, ' ') as ws
+                       from documents),
+            b as (select doc_id, ws,
+                         greatest(cast(ceil(len(ws) / 6.0) as int), 1) as nseg
+                  from s),
+            lines as (
+              select doc_id,
+                     list_transform(generate_series(1, nseg), i ->
+                       array_to_string(
+                         list_slice(ws, (i - 1) * 6 + 1, (i - 1) * 6 + 6),
+                         ' ')
+                       || case cast(('0x' || substring(
+                               md5(doc_id || '|' || i), 1, 2)) as ubigint) % 5
+                          when 0 then '.' when 1 then '.'
+                          when 2 then '?' when 3 then ''
+                          else ' javascript.' end) as ls
+              from b),
+            doc as (
+              select doc_id,
+                     array_to_string(ls, chr(10))
+                       || case when doc_id % 97 = 0
+                               then chr(10) || 'lorem ipsum dolor.'
+                               else '' end as text2
+              from lines),
+            flat as materialized (
+              select doc_id,
+                     replace(array_to_string(
+                       list_filter(string_split(text2, chr(10)), l ->
+                         right(l, 1) in ('.', '!', '?', '"')
+                         and len(string_split(l, ' ')) >= 3
+                         and not contains(lower(l), 'javascript')),
+                       chr(10)), chr(10), ' ') as text,
+                     (not (contains(lower(text2), 'lorem ipsum')
+                           or contains(text2, '{'))
+                      and len(list_filter(string_split(text2, chr(10)), l ->
+                            right(l, 1) in ('.', '!', '?', '"')
+                            and len(string_split(l, ' ')) >= 3
+                            and not contains(lower(l), 'javascript'))) >= 1)
+                       as keep_c4
+              from doc),
+            flat2 as materialized (
+              select * from flat
+              union all
+              select doc_id + 1000000000 as doc_id, text, keep_c4
+              from flat where doc_id % 37 = 0),
+            gs as (
+              select doc_id, text,
+                     string_split(text, ' ') as gws,
+                     length(string_split(text, ' ')) as n_tok,
+                     length(text) as n_chr,
+                     len(string_split(text, '#')) - 1 as n_hash,
+                     len(string_split(text, '...')) - 1 as n_ell
+              from flat2 where keep_c4),
+            gm as (
+              select doc_id, text, n_tok,
+                     (n_chr - n_tok + 1) / n_tok as avg_len,
+                     (n_hash + n_ell) / n_tok as symbol_ratio,
+                     len(list_filter(gws, w -> w in
+                       ('the','a','and','of','to','in','is','on','for',
+                        'with'))) as stop_hits,
+                     case when n_tok - 1 < 1 then 0.0
+                          else (greatest(n_tok - 1, 0)
+                                - len(list_distinct(list_transform(
+                                    generate_series(1, greatest(n_tok - 1, 1)),
+                                    i -> array_to_string(
+                                      list_slice(gws, i, i + 1), ' ')))))
+                               / greatest(n_tok - 1, 0)
+                     end as dup_ratio
+              from gs),
+            surv as materialized (
+              select doc_id, text from gm
+              where (n_tok between 20 and 80)
+                and (avg_len >= 3.0 and avg_len <= 10.0)
+                and (symbol_ratio <= 0.1)
+                and (stop_hits >= 2)
+                and (dup_ratio <= 0.05))
+            select (select count(*) from flat2) as n_raw,
+                   (select count(*) from flat2 where keep_c4) as n_c4,
+                   (select count(*) from surv) as n_gopher,
+                   (select count(distinct text) from surv) as n_unique
+        """,
+        "justext_blocks": """
+            with s as (select doc_id, string_split(text, ' ') as ws
+                       from documents),
+            b as (select doc_id, ws,
+                         greatest(cast(ceil(len(ws) / 14.0) as int), 1) as nseg
+                  from s),
+            seq as (select doc_id, ws,
+                           unnest(generate_series(1, nseg)) as i
+                    from b),
+            raw as (
+              select doc_id, i,
+                     array_to_string(
+                       list_slice(ws, (i - 1) * 14 + 1, (i - 1) * 14 + 14),
+                       ' ') as base,
+                     cast(('0x' || substring(
+                           md5(doc_id || '#' || i), 1, 2)) as ubigint) as h
+              from seq),
+            blk as (
+              select doc_id, cast(i - 1 as bigint) as pos,
+                     case when h % 4 = 0 then
+                            'the of and to in is on for with a'
+                            || ' ' || 'the of and to in is on for with a'
+                            || ' ' || base || ' ' || base || ' ' || base
+                          when h % 4 = 1 then
+                            'the of and to in is' || ' ' || base
+                          else base end as text,
+                     h
+              from raw),
+            feat as (
+              select doc_id, pos, text,
+                     cast(case when h % 5 = 4 then length(text)
+                               when h % 5 = 3 then floor(length(text) / 3)
+                               when h % 7 = 0 then 5
+                               else 0 end as bigint) as link_chars,
+                     cast(length(text) as bigint) as n_chars,
+                     cast(len(list_filter(string_split(text, ' '),
+                                          w -> w <> '')) as bigint) as n_words,
+                     cast(len(list_filter(string_split(text, ' '),
+                              w -> lower(w) in ('the', 'a', 'and', 'of', 'to',
+                                                'in', 'is', 'on', 'for',
+                                                'with'))) as bigint) as stop_cnt
+              from blk),
+            cf as (
+              select *,
+                     case when link_chars * 100 > 20 * n_chars then 'bad'
+                          when n_chars < 70 then
+                            (case when link_chars > 0 then 'bad'
+                                  else 'short' end)
+                          when stop_cnt * 100 >= 32 * n_words then
+                            (case when n_chars > 200 then 'good'
+                                  else 'neargood' end)
+                          when stop_cnt * 100 >= 30 * n_words then 'neargood'
+                          else 'bad' end as cls
+              from feat),
+            sm as (
+              select *,
+                     last_value(case when cls in ('good', 'bad') then cls end
+                                ignore nulls)
+                       over (partition by doc_id order by pos
+                             rows between unbounded preceding
+                                      and 1 preceding) as prev_cert,
+                     first_value(case when cls in ('good', 'bad') then cls end
+                                 ignore nulls)
+                       over (partition by doc_id order by pos
+                             rows between 1 following
+                                      and unbounded following) as next_cert
+              from cf)
+            select doc_id, pos, text, link_chars, n_chars, n_words, stop_cnt,
+                   cls,
+                   case when cls = 'good' then true
+                        when cls = 'bad' then false
+                        when cls = 'neargood' then
+                          coalesce(prev_cert, '') = 'good'
+                          or coalesce(next_cert, '') = 'good'
+                        else coalesce(prev_cert, next_cert, 'bad') = 'good'
+                             and coalesce(next_cert, prev_cert, 'bad') = 'good'
+                   end as keep
+            from sm
+        """,
         "domain_cap": """
             select doc_id, text, lang, source, n_chars, host_rank
             from (select *,
@@ -3640,6 +3925,38 @@ def oracle_sql() -> dict[str, str]:
             from (select pc.w, pc.exact_cnt, min(cells.cnt) as cms_est
                   from pc join cells using (r, c)
                   group by pc.w, pc.exact_cnt)
+        """,
+        "hdr_quantiles": """
+            with b as (
+              select source,
+                     cast(case when n_chars < 16 then n_chars
+                          else ((length(bin(n_chars)) - 1) - 4 + 1) * 16
+                               + ((n_chars >> ((length(bin(n_chars)) - 1) - 4))
+                                  - 16)
+                          end as bigint) as bucket
+              from documents),
+            h as (select source, bucket, count(*) as cnt
+                  from b group by source, bucket),
+            c as (select source, bucket, cnt,
+                         cast(sum(cnt) over (partition by source
+                                             order by bucket) as bigint) as cum,
+                         cast(sum(cnt) over (partition by source) as bigint)
+                           as n
+                  from h),
+            qv as (select unnest([0.5, 0.9, 0.99]) as q),
+            sel as (
+              select c.source, qv.q, c.n, c.bucket,
+                     row_number() over (partition by c.source, qv.q
+                                        order by c.bucket) as rn
+              from c cross join qv
+              where c.cum >= greatest(cast(ceil(qv.q * c.n) as bigint), 1))
+            select source, q,
+                   cast(case when bucket < 16 then bucket
+                        else (16 + (bucket % 16))
+                             * (1::bigint << cast((bucket // 16) - 1 as int))
+                        end as bigint) as est,
+                   n
+            from sel where rn = 1
         """,
         "robots_gate": """
             with u as (

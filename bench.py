@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "redact_pii",
     "exact_substring_dedup",
     "c4_clean",
+    "justext_blocks",
     "domain_cap",
     "sitemap_parse",
     "anchor_topk",

@@ -162,3 +162,117 @@ def test_cms_native_tier_one_sided(spark, items):
     )
     assert len(got) == 700
     assert all(r["cms_est"] >= r["exact_cnt"] for r in got)
+
+
+# ---------------------------------------------------------------------------
+# HDR log-linear histogram quantiles
+# ---------------------------------------------------------------------------
+
+from webcrawler_spark.operators.sketches import (  # noqa: E402
+    hdr_bucket,
+    hdr_histogram,
+    hdr_lower_bound,
+    hdr_merge,
+    hdr_quantiles,
+)
+
+
+def _py_bucket(v: int, m: int = 4) -> int:
+    v = max(v, 0)
+    if v < (1 << m):
+        return v
+    e = v.bit_length() - 1
+    return (e - m + 1) * (1 << m) + ((v >> (e - m)) - (1 << m))
+
+
+def _py_lb(i: int, m: int = 4) -> int:
+    if i < (1 << m):
+        return i
+    return ((1 << m) + (i & ((1 << m) - 1))) << ((i >> m) - 1)
+
+
+VALUES = [0, 1, 15, 16, 17, 31, 32, 63, 64, 100, 128, 306, 1000, 65535,
+          10**6, 2**40 + 12345, -7]
+
+
+def test_hdr_bucket_and_bound_hand_computed(spark):
+    df = spark.createDataFrame([(v,) for v in VALUES], "v long")
+    out = df.select(
+        "v",
+        hdr_bucket(F.col("v")).alias("b"),
+        hdr_lower_bound(hdr_bucket(F.col("v"))).alias("lb"),
+    ).collect()
+    for r in out:
+        assert r["b"] == _py_bucket(r["v"]), r
+        assert r["lb"] == _py_lb(_py_bucket(r["v"])), r
+        # lower bound never exceeds the value; relative width <= 1/16
+        v = max(r["v"], 0)
+        assert r["lb"] <= v
+        assert v <= r["lb"] + max(r["lb"] // 16, 0) or v < 16
+
+
+@pytest.fixture(scope="module")
+def lengths(spark):
+    # deterministic long-tailed lengths: quadratic spread over 3 keys
+    return spark.range(3000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") * F.col("id") % 91997).alias("v"),
+    ).persist()
+
+
+def test_hdr_merge_is_union_groupby(lengths):
+    whole = hdr_histogram(lengths, "v")
+    parts = hdr_merge(
+        hdr_histogram(lengths.where("id % 2 = 0"), "v").unionByName(
+            hdr_histogram(lengths.where("id % 2 = 1"), "v")
+        )
+    )
+    a = sorted(map(tuple, whole.collect()))
+    b = sorted(map(tuple, parts.collect()))
+    assert a == b
+
+
+def test_hdr_quantiles_error_bound_and_rank(lengths):
+    rows = hdr_quantiles(hdr_histogram(lengths, "v", key="g"), key="g").collect()
+    exact = {
+        g: sorted(r["v"] for r in lengths.where(F.col("g") == g).collect())
+        for g in ("0", "1", "2")
+    }
+    import math
+
+    assert len(rows) == 9
+    for r in rows:
+        xs = exact[r["g"]]
+        assert r["n"] == len(xs)
+        true = xs[max(math.ceil(r["q"] * len(xs)), 1) - 1]
+        # one-sided: est <= true < est * (1 + 1/16) (+1 for unit buckets)
+        assert r["est"] <= true
+        assert true <= r["est"] + max(r["est"] // 16, 1)
+
+
+def test_hdr_exact_below_base(spark):
+    # values < 16 bucket exactly, so quantiles are exact order stats
+    df = spark.createDataFrame([(v,) for v in [1, 2, 3, 4, 5, 6, 7, 8, 9, 10]],
+                               "v long")
+    out = {r["q"]: r["est"] for r in hdr_quantiles(
+        hdr_histogram(df, "v"), qs=(0.1, 0.5, 1.0)).collect()}
+    assert out == {0.1: 1, 0.5: 5, 1.0: 10}
+
+
+def test_hdr_partition_invariance(lengths):
+    one = sorted(map(tuple, hdr_quantiles(
+        hdr_histogram(lengths.coalesce(1), "v", key="g"), key="g").collect()))
+    many = sorted(map(tuple, hdr_quantiles(
+        hdr_histogram(lengths.repartition(17), "v", key="g"), key="g").collect()))
+    assert one == many
+
+
+def test_hdr_plan_is_partial_agg_no_window(lengths):
+    plan = (
+        hdr_quantiles(hdr_histogram(lengths, "v", key="g"), key="g")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    assert "partial" in plan.lower()  # map-side combine on the bucket agg
