@@ -1055,6 +1055,45 @@ def _q_stream_lsh_dedup(spark, sf):
     )
 
 
+def _q_stream_hdr(spark, sf):
+    """Streaming percentiles: tumbling 1-hour HDR histograms over the
+    events stream (AvailableNow drain; the sketch's SUM monoid IS the
+    streaming state — one long per (window, type, bucket) cell, never
+    a per-event buffer), then the batch quantile read on the sink
+    table. Values metered in cents (floor(value*100)) so bucketing is
+    integer-exact; window_start = epoch-aligned tumbling hour, which
+    the oracle replays as date_trunc."""
+    import tempfile
+
+    from webcrawler_spark.operators.sketches import hdr_quantiles
+    from webcrawler_spark.streaming.incremental import windowed_hdr_histogram
+
+    root = tempfile.mkdtemp(prefix="wcspark-shdr-")
+    spark.read.parquet(f"{sf}/events.parquet").select(
+        "ts",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    ).coalesce(1).write.parquet(f"{root}/src")
+    q = (
+        windowed_hdr_histogram(
+            spark.readStream.schema(
+                "ts timestamp, event_type string, cents long"
+            ).parquet(f"{root}/src"),
+            "cents",
+            key="event_type",
+        )
+        .writeStream.format("memory")
+        .queryName("stream_hdr_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return hdr_quantiles(
+        spark.table("stream_hdr_sink"), key=["window_start", "event_type"]
+    )
+
+
 def _q_crawl_rowsonly(spark, sf):
     """The crawl itself at this scale factor (quiescence run, no budget):
     per-host attempted/fetched counts from the seen table."""
@@ -1985,6 +2024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": _q_warc_roundtrip,
         "stateful_schedule": _q_stateful_schedule,
         "stream_lsh_dedup": _q_stream_lsh_dedup,
+        "stream_hdr": _q_stream_hdr,
         "hll_registers": _q_hll_registers,
         "hll_estimate": _q_hll_estimate,
         "cms_registers": _q_cms_registers,
@@ -2490,6 +2530,44 @@ def oracle_sql() -> dict[str, str]:
             from sig s join own o using (band_id, band_min)
             where o.owner < s.doc_id
             group by s.doc_id
+        """,
+        "stream_hdr": """
+            with e as (
+              select date_trunc('hour', ts) as window_start, event_type,
+                     greatest(cast(floor(value * 100) as bigint), 0) as v
+              from events),
+            b as (select window_start, event_type,
+                         cast(case when v < 16 then v
+                              else ((length(bin(v)) - 1) - 4 + 1) * 16
+                                   + ((v >> ((length(bin(v)) - 1) - 4)) - 16)
+                              end as bigint) as bucket
+                  from e),
+            h as (select window_start, event_type, bucket, count(*) as cnt
+                  from b group by window_start, event_type, bucket),
+            c as (select window_start, event_type, bucket, cnt,
+                         cast(sum(cnt) over (partition by window_start,
+                                             event_type order by bucket)
+                              as bigint) as cum,
+                         cast(sum(cnt) over (partition by window_start,
+                                             event_type) as bigint) as n
+                  from h),
+            qv as (select unnest([0.5, 0.9, 0.99]) as q,
+                          unnest([5000, 9000, 9900]) as pm),
+            sel as (
+              select c.window_start, c.event_type, cast(qv.q as double) as q,
+                     c.n, c.bucket,
+                     row_number() over (partition by c.window_start,
+                                        c.event_type, qv.q
+                                        order by c.bucket) as rn
+              from c cross join qv
+              where c.cum >= greatest((qv.pm * c.n + 9999) // 10000, 1))
+            select window_start, event_type, q,
+                   cast(case when bucket < 16 then bucket
+                        else (16 + (bucket % 16))
+                             * (1::bigint << cast((bucket // 16) - 1 as int))
+                        end as bigint) as est,
+                   n
+            from sel where rn = 1
         """,
         "incremental_dedup": f"""
             with {_SHINGLES_CTE},
@@ -3943,13 +4021,14 @@ def oracle_sql() -> dict[str, str]:
                          cast(sum(cnt) over (partition by source) as bigint)
                            as n
                   from h),
-            qv as (select unnest([0.5, 0.9, 0.99]) as q),
+            qv as (select unnest([0.5, 0.9, 0.99]) as q,
+                          unnest([5000, 9000, 9900]) as pm),
             sel as (
-              select c.source, qv.q, c.n, c.bucket,
+              select c.source, cast(qv.q as double) as q, c.n, c.bucket,
                      row_number() over (partition by c.source, qv.q
                                         order by c.bucket) as rn
               from c cross join qv
-              where c.cum >= greatest(cast(ceil(qv.q * c.n) as bigint), 1))
+              where c.cum >= greatest((qv.pm * c.n + 9999) // 10000, 1))
             select source, q,
                    cast(case when bucket < 16 then bucket
                         else (16 + (bucket % 16))

@@ -238,13 +238,12 @@ def test_hdr_quantiles_error_bound_and_rank(lengths):
         g: sorted(r["v"] for r in lengths.where(F.col("g") == g).collect())
         for g in ("0", "1", "2")
     }
-    import math
-
     assert len(rows) == 9
     for r in rows:
         xs = exact[r["g"]]
         assert r["n"] == len(xs)
-        true = xs[max(math.ceil(r["q"] * len(xs)), 1) - 1]
+        pm = int(round(r["q"] * 10000))
+        true = xs[max((pm * len(xs) + 9999) // 10000, 1) - 1]
         # one-sided: est <= true < est * (1 + 1/16) (+1 for unit buckets)
         assert r["est"] <= true
         assert true <= r["est"] + max(r["est"] // 16, 1)

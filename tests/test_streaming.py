@@ -227,3 +227,55 @@ def test_lsh_collision_stream_matches_batch_law(spark, tmp_path_factory):
     rows = spark.read.parquet(out).collect()
     assert {r["doc_id"] for r in rows} == {1, 7}
     assert all(r["owner_id"] == 0 for r in rows if r["doc_id"] == 7)
+
+
+def test_windowed_hdr_histogram_cross_batch_merge_law(spark, tmp_path_factory):
+    """Two-file drain at maxFilesPerTrigger=1 (two micro-batches) must
+    equal the batch histogram: the per-(window, key, bucket) state is
+    a SUM monoid, so micro-batch order cannot matter."""
+    from webcrawler_spark.operators.sketches import hdr_histogram
+    from webcrawler_spark.streaming.incremental import windowed_hdr_histogram
+
+    root = str(tmp_path_factory.mktemp("shdr"))
+    rows = [
+        (f"2024-01-01 0{h}:{m:02d}:00", "t%d" % (m % 2), (h * 37 + m * m) % 5000)
+        for h in range(3)
+        for m in range(40)
+    ]
+    df = spark.createDataFrame(rows, "ts_s string, k string, v long").select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "k", "v"
+    )
+    df.where("v % 2 = 0").coalesce(1).write.parquet(f"{root}/src")
+    df.where("v % 2 = 1").coalesce(1).write.mode("append").parquet(f"{root}/src")
+
+    q = (
+        windowed_hdr_histogram(
+            spark.readStream.schema("ts timestamp, k string, v long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{root}/src"),
+            "v",
+            key="k",
+        )
+        .writeStream.format("memory")
+        .queryName("hdr_merge_law")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert q.lastProgress is not None
+
+    got = sorted(map(tuple, spark.table("hdr_merge_law").collect()))
+    want = sorted(
+        map(
+            tuple,
+            hdr_histogram(
+                df.withColumn(
+                    "window_start", F.date_trunc("hour", F.col("ts"))
+                ),
+                "v",
+                key=["window_start", "k"],
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 10

@@ -287,10 +287,16 @@ def hdr_lower_bound(bucket: Column, sub_bits: int = HDR_SUB_BITS) -> Column:
     )
 
 
+def _hdr_keys(key: str | list[str] | None) -> list[str]:
+    if key is None:
+        return []
+    return [key] if isinstance(key, str) else list(key)
+
+
 def hdr_histogram(
     df: DataFrame,
     col: str,
-    key: str | None = None,
+    key: str | list[str] | None = None,
     sub_bits: int = HDR_SUB_BITS,
 ) -> DataFrame:
     """Build the histogram sketch: (key?, bucket, cnt).
@@ -302,7 +308,7 @@ def hdr_histogram(
     and CMS tiers, and the standard way a 1000-executor cluster takes
     a p99 over 100 TB without sorting anything.
     """
-    keys = [key] if key else []
+    keys = _hdr_keys(key)
     return (
         df.select(*keys, hdr_bucket(F.col(col), sub_bits).alias("bucket"))
         .groupBy(*keys, "bucket")
@@ -310,22 +316,30 @@ def hdr_histogram(
     )
 
 
-def hdr_merge(hists: DataFrame, key: str | None = None) -> DataFrame:
+def hdr_merge(hists: DataFrame, key: str | list[str] | None = None) -> DataFrame:
     """Merge histogram sketches (union of shard/day sketches):
     element-wise SUM per bucket — one groupBy, exact."""
-    keys = [key] if key else []
+    keys = _hdr_keys(key)
     return hists.groupBy(*keys, "bucket").agg(F.sum("cnt").alias("cnt"))
 
 
 def hdr_quantiles(
     hist: DataFrame,
     qs: tuple[float, ...] = (0.5, 0.9, 0.99),
-    key: str | None = None,
+    key: str | list[str] | None = None,
     sub_bits: int = HDR_SUB_BITS,
 ) -> DataFrame:
     """Read quantiles off the sketch: (key?, q, est, n) with
     ``est`` = lower bound of the first bucket whose cumulative count
-    reaches ``ceil(q * n)``.
+    reaches rank ``ceil(q * n)``.
+
+    The rank is computed in INTEGER per-myriad arithmetic —
+    ``(round(q*10000) * n + 9999) div 10000`` — never as float
+    ``ceil(q * n)``: the float product sits within one ulp of an
+    integer exactly at the ranks that matter (0.9 * 250 rounds to
+    225.00000000000003, whose ceil is 226), and engines disagreeing
+    by one rank at a bucket boundary would flip the estimate. Integer
+    math makes the read bit-exact at any n up to 2^49.
 
     The cumulative walk is a codegen ``aggregate`` over the group's
     sorted bucket array — bounded by the bucket-space size, never by
@@ -333,14 +347,17 @@ def hdr_quantiles(
     window anywhere in the plan (the anti-pattern key_skew_stats'
     docstring declines); per-key reads shuffle only bucket rows.
     """
-    keys = [key] if key else []
+    keys = _hdr_keys(key)
     row = hist.groupBy(*keys).agg(
         F.sum("cnt").alias("n"),
         F.sort_array(F.collect_list(F.struct("bucket", "cnt"))).alias("arr"),
     )
 
-    def est_for(q: Column) -> Column:
-        rank = F.greatest(F.ceil(q * F.col("n")).cast("long"), F.lit(1).cast("long"))
+    def est_for(pm: int) -> Column:
+        rank = F.greatest(
+            F.expr(f"cast(({pm} * n + 9999) div 10000 as bigint)"),
+            F.lit(1).cast("long"),
+        )
         return F.aggregate(
             F.col("arr"),
             F.struct(
@@ -359,10 +376,13 @@ def hdr_quantiles(
             lambda acc: acc["ans"],
         )
 
-    qarr = F.array(*[F.lit(float(q)) for q in qs])
-    qe = F.explode(
-        F.transform(qarr, lambda q: F.struct(q.alias("q"), est_for(q).alias("est")))
-    ).alias("qe")
+    structs = []
+    for q in qs:
+        pm = int(round(q * 10000))
+        structs.append(
+            F.struct(F.lit(float(q)).alias("q"), est_for(pm).alias("est"))
+        )
+    qe = F.explode(F.array(*structs)).alias("qe")
     return row.select(*keys, "n", qe).select(
         *keys, F.col("qe.q").alias("q"), F.col("qe.est").alias("est"), "n"
     )

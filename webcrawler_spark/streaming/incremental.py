@@ -90,3 +90,46 @@ def windowed_host_throughput(
             "fetches",
         )
     )
+
+
+def windowed_hdr_histogram(
+    events: DataFrame,
+    value_col: str,
+    time_col: str = "ts",
+    window: str = "1 hour",
+    key: str | list[str] | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Tumbling-window HDR histogram over a stream — continuous
+    percentiles (the latency-dashboard pattern) with state bounded by
+    the bucket space instead of the event count.
+
+    The sketch is a SUM monoid (operators/sketches.py), so it composes
+    directly with streaming aggregation: per (window, key, bucket) the
+    state is ONE long, micro-batches merge by addition, and late rows
+    (within the watermark, when one is set) fold into the same cell —
+    no per-event retention, no sorted buffer. ~1 Ki buckets per group
+    vs the unbounded event list an exact percentile would hold: that
+    is the difference between a dashboard that survives 10^9
+    events/hour and one that OOMs the state store.
+
+    With ``watermark`` set, pair with append/update sinks (state
+    evicts once the watermark passes the window). Without one, use
+    complete mode over a bounded drain (the AvailableNow pattern).
+    Quantile reads are batch-side: ``hdr_quantiles(result,
+    key=["window_start", *key])`` on the sink table.
+    """
+    from webcrawler_spark.operators.sketches import _hdr_keys, hdr_bucket
+
+    if watermark is not None:
+        events = events.withWatermark(time_col, watermark)
+    keys = _hdr_keys(key)
+    return (
+        events.groupBy(
+            F.window(time_col, window).alias("w"),
+            *keys,
+            hdr_bucket(F.col(value_col)).alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), *keys, "bucket", "cnt")
+    )
