@@ -36,6 +36,8 @@ AUDITED = [
     "rank_priority",
     "recrawl_priority",
     "c4_clean",
+    "justext_blocks",
+    "hdr_quantiles",
     "domain_cap",
     "sitemap_parse",
     "exact_substring_dedup",
