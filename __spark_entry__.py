@@ -1631,6 +1631,29 @@ def _block_docs(spark, sf):
     )
 
 
+def _q_line_repetition(spark, sf):
+    """Gopher §A1.1 line-granularity repetition signals: dup-line
+    fraction and repeated-line char fraction, over lined docs with
+    deterministic boilerplate injected (every 3rd doc gains a doubled
+    footer line, every 5th a header/footer nav pair) so both signals
+    fire. Pure codegen projection — zero shuffles."""
+    from webcrawler_spark.operators.cleaning import line_repetition_stats
+
+    d = _lined_docs(spark, sf)
+    t = F.col("text")
+    t = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(t, F.lit("\nall rights reserved.\nall rights reserved.")),
+    ).otherwise(t)
+    t = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(
+            F.lit("home | about | contact\n"), t, F.lit("\nhome | about | contact")
+        ),
+    ).otherwise(t)
+    return line_repetition_stats(d.select("doc_id", t.alias("text")))
+
+
 def _q_justext_blocks(spark, sf):
     """jusText boilerplate classification (Pomikalek 2011): per-block
     context-free class from integer-cross-multiplied link/stopword/
@@ -1982,6 +2005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_clean": _q_c4_clean,
         "justext_blocks": _q_justext_blocks,
         "cleaning_funnel": _q_cleaning_funnel,
+        "line_repetition": _q_line_repetition,
         "domain_cap": _q_domain_cap,
         "sitemap_parse": _q_sitemap_parse,
         "robots_sitemaps": _q_robots_sitemaps,
@@ -3308,6 +3332,62 @@ def oracle_sql() -> dict[str, str]:
                    (select count(*) from flat2 where keep_c4) as n_c4,
                    (select count(*) from surv) as n_gopher,
                    (select count(distinct text) from surv) as n_unique
+        """,
+        "line_repetition": """
+            with s as (select doc_id, string_split(text, ' ') as ws
+                       from documents),
+            b as (select doc_id, ws,
+                         greatest(cast(ceil(len(ws) / 6.0) as int), 1) as nseg
+                  from s),
+            lines as (
+              select doc_id,
+                     list_transform(generate_series(1, nseg), i ->
+                       array_to_string(
+                         list_slice(ws, (i - 1) * 6 + 1, (i - 1) * 6 + 6),
+                         ' ')
+                       || case cast(('0x' || substring(
+                               md5(doc_id || '|' || i), 1, 2)) as ubigint) % 5
+                          when 0 then '.' when 1 then '.'
+                          when 2 then '?' when 3 then ''
+                          else ' javascript.' end) as ls
+              from b),
+            doc as (
+              select doc_id,
+                     array_to_string(ls, chr(10))
+                       || case when doc_id % 97 = 0
+                               then chr(10) || 'lorem ipsum dolor.'
+                               else '' end as text2
+              from lines),
+            inj as (
+              select doc_id,
+                     case when doc_id % 5 = 0
+                          then 'home | about | contact' || chr(10) || t3
+                               || chr(10) || 'home | about | contact'
+                          else t3 end as text3
+              from (select doc_id,
+                           case when doc_id % 3 = 0
+                                then text2 || chr(10) || 'all rights reserved.'
+                                     || chr(10) || 'all rights reserved.'
+                                else text2 end as t3
+                    from doc)),
+            st as (
+              select doc_id,
+                     string_split(text3, chr(10)) as ls,
+                     list_distinct(string_split(text3, chr(10))) as dist
+              from inj)
+            select doc_id,
+                   cast(len(ls) as bigint) as n_lines,
+                   cast(len(dist) as bigint) as n_distinct,
+                   (len(ls) - len(dist)) / len(ls) as dup_line_frac,
+                   case when coalesce(list_sum(list_transform(ls,
+                          l -> length(l))), 0) <= 0 then 0.0
+                        else cast(coalesce(list_sum(list_transform(dist,
+                               d -> (len(list_filter(ls, l -> l = d)) - 1)
+                                    * length(d))), 0) as double)
+                             / cast(list_sum(list_transform(ls,
+                                 l -> length(l))) as double)
+                   end as dup_char_frac
+            from st
         """,
         "justext_blocks": """
             with s as (select doc_id, string_split(text, ' ') as ws

@@ -214,3 +214,40 @@ def test_ngram_contamination_short_docs(spark):
     }
     # every doc shorter than n yields zero grams on both sides
     assert out == {0: 0, 1: 0}
+
+
+def test_line_repetition_stats_hand_computed(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta\nnav bar\nalpha beta\ncontent line\nalpha beta"),
+            (2, "one\ntwo\nthree"),
+            (3, "same\nsame"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in cleaning.line_repetition_stats(df).collect()}
+    r1 = out[1]
+    # lines: [ab, nav, ab, content, ab] -> 5 lines, 3 distinct
+    assert (r1["n_lines"], r1["n_distinct"]) == (5, 3)
+    assert r1["dup_line_frac"] == 2 / 5
+    # dup chars: (3-1)*len("alpha beta"); total = 3*10 + 7 + 12
+    assert r1["dup_char_frac"] == (2 * 10) / (3 * 10 + 7 + 12)
+    assert out[2]["dup_line_frac"] == 0.0 and out[2]["dup_char_frac"] == 0.0
+    assert out[3]["dup_line_frac"] == 0.5
+    assert out[3]["dup_char_frac"] == 4 / 8
+
+
+def test_line_repetition_paragraph_variant_and_plan(spark):
+    df = spark.createDataFrame(
+        [(1, "para one\nstill para one\n\npara one\nstill para one\n\nunique")],
+        "doc_id long, text string",
+    )
+    r = cleaning.line_repetition_stats(df, sep="\n\n").collect()[0]
+    assert (r["n_lines"], r["n_distinct"]) == (3, 2)
+    plan = (
+        cleaning.line_repetition_stats(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan

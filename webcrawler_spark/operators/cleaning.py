@@ -182,6 +182,57 @@ def repetition_stats(
     )
 
 
+def line_repetition_stats(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+) -> DataFrame:
+    """The segment-granularity half of Gopher's §A1.1 repetition
+    signals (Rae et al. 2021): duplicate-LINE fraction and the
+    fraction of characters sitting in repeated lines — the pair of
+    rules that catches boilerplate headers/footers and templated spam
+    that word-level stats miss. ``sep='\\n\\n'`` gives the paragraph
+    variant of the same rules.
+
+    * ``dup_line_frac``  = (n_lines − n_distinct) / n_lines — the
+      fraction of line OCCURRENCES beyond each line's first.
+    * ``dup_char_frac``  = Σ over distinct lines of
+      (occurrences − 1)·len(line), divided by total line characters —
+      the char mass those repeats contribute (repeated-first-occurrence
+      chars are NOT counted, pinning the "beyond first" convention the
+      fraction above uses).
+
+    Pure projection over array lambdas — zero shuffles, codegen, reads
+    only (``id_col``, ``col``). The per-doc occurrence count is
+    O(lines²) in the worst case, bounded by lines-per-document —
+    never by the corpus.
+    """
+    lines = F.split(F.col(col), sep)
+    n_lines = F.size(lines)
+    dist = F.array_distinct(lines)
+    n_dist = F.size(dist)
+    total_chars = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda acc, l: acc + F.length(l)
+    )
+    dup_chars = F.aggregate(
+        dist,
+        F.lit(0).cast("long"),
+        lambda acc, d: acc
+        + (F.size(F.filter(lines, lambda l: l == d)) - 1).cast("long")
+        * F.length(d),
+    )
+    return df.select(
+        F.col(id_col),
+        n_lines.cast("long").alias("n_lines"),
+        n_dist.cast("long").alias("n_distinct"),
+        ((n_lines - n_dist).cast("double") / n_lines).alias("dup_line_frac"),
+        F.when(total_chars <= 0, F.lit(0.0))
+        .otherwise(dup_chars.cast("double") / total_chars)
+        .alias("dup_char_frac"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # train-test contamination check (n-gram collision decontamination,
 # the GPT-3 appendix-C / Lee et al. 2022 procedure)
