@@ -1631,6 +1631,47 @@ def _block_docs(spark, sf):
     )
 
 
+def _lr_inputs(spark, sf):
+    """Hashed features + labels for the quality-classifier queries:
+    y = doc mentions the word 'spark' (linearly learnable through the
+    bucket that word hashes into, so training demonstrably moves the
+    right weight)."""
+    from webcrawler_spark.operators.classifier import hash_features
+
+    d = _docs(spark, sf)
+    feats = hash_features(d)
+    labels = d.select(
+        F.col("doc_id").alias("id"),
+        (
+            F.size(F.filter(F.split("text", " "), lambda w: w == "spark")) >= 2
+        ).cast("double").alias("y"),
+    )
+    return feats, labels
+
+
+def _q_lr_quality_model(spark, sf):
+    """Distributed logistic-regression training (the fastText-style
+    quality-classifier role, trained not just applied): 3 full-batch
+    GD iterations, weights = driver model state (<=65 rows/iter),
+    gradients via broadcast-join + dim-bounded hash aggregate. Output
+    is the trained weight table."""
+    from webcrawler_spark.operators.classifier import lr_train
+
+    feats, labels = _lr_inputs(spark, sf)
+    w = lr_train(feats, labels, n_iter=4, lr=2.0)
+    return spark.createDataFrame(w, "j int, w double")
+
+
+def _q_lr_quality(spark, sf):
+    """Same trainer, scoring pass: per-doc sigmoid score + decision
+    against the held label."""
+    from webcrawler_spark.operators.classifier import lr_score, lr_train
+
+    feats, labels = _lr_inputs(spark, sf)
+    w = lr_train(feats, labels, n_iter=4, lr=2.0)
+    return lr_score(feats, w).join(labels, "id")
+
+
 def _q_line_repetition(spark, sf):
     """Gopher §A1.1 line-granularity repetition signals: dup-line
     fraction and repeated-line char fraction, over lined docs with
@@ -2006,6 +2047,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "justext_blocks": _q_justext_blocks,
         "cleaning_funnel": _q_cleaning_funnel,
         "line_repetition": _q_line_repetition,
+        "lr_quality_model": _q_lr_quality_model,
+        "lr_quality": _q_lr_quality,
         "domain_cap": _q_domain_cap,
         "sitemap_parse": _q_sitemap_parse,
         "robots_sitemaps": _q_robots_sitemaps,
@@ -2067,6 +2110,41 @@ _URL_SQL = (
     "'https://' || source || '.example/doc/' || doc_id::VARCHAR ||"
     " (case when doc_id % 7 = 0 then '.pdf' else '' end)"
 )
+
+_LR_ITER = """
+d{t} as (select id, sum(x * w) as dot from fx join w{p} using (j) group by id),
+r{t} as (select id, 1.0 / (1.0 + exp(-dot)) - y as r
+         from d{t} join lab using (id)),
+g{t} as (select j, sum(x * r) / (select nn from n) as g
+         from fx join r{t} using (id) group by j),
+w{t} as materialized (
+  select w{p}.j, w{p}.w - 2.0 * g{t}.g as w
+  from w{p} join g{t} on g{t}.j = w{p}.j)"""
+
+_LR_CTE = ("""
+base as materialized (
+  select doc_id as id,
+         list_filter(string_split(text, ' '), w -> w <> '') as ws,
+         string_split(text, ' ') as raw_ws
+  from documents),
+lab as materialized (
+  select id, cast(len(list_filter(raw_ws, w -> w = 'spark')) >= 2 as double)
+           as y from base),
+fx as materialized (
+  select id, j, cast(count(*) as double) / any_value(nw) as x
+  from (select b.id, len(b.ws) as nw,
+               cast(cast(('0x' || substr(md5('lrq|' || t.w), 1, 8))
+                    as ubigint) % 64 as int) as j
+        from base b, unnest(b.ws) as t(w))
+  group by id, j
+  union all
+  select id, cast(-1 as int) as j, 1.0 as x from base),
+n as (select cast(count(*) as double) as nn from lab),
+g1 as (select j, sum(x * (0.5 - y)) / (select nn from n) as g
+       from fx join lab using (id) group by j),
+w1 as materialized (select j, 0.0 - 2.0 * g as w from g1),"""
+ + _LR_ITER.format(t=2, p=1) + "," + _LR_ITER.format(t=3, p=2)
+ + "," + _LR_ITER.format(t=4, p=3))
 
 _SHINGLES_CTE = """
 sh as (
@@ -3332,6 +3410,22 @@ def oracle_sql() -> dict[str, str]:
                    (select count(*) from flat2 where keep_c4) as n_c4,
                    (select count(*) from surv) as n_gopher,
                    (select count(distinct text) from surv) as n_unique
+        """,
+        "lr_quality_model": f"""
+            with {_LR_CTE}
+            select js.j, coalesce(w4.w, 0.0) as w
+            from (select cast(unnest(generate_series(-1, 63)) as int) as j) js
+            left join w4 on w4.j = js.j
+        """,
+        "lr_quality": f"""
+            with {_LR_CTE},
+            ds as (select id, sum(x * w) as dot
+                   from fx join w4 using (j) group by id)
+            select id,
+                   1.0 / (1.0 + exp(-dot)) as p,
+                   1.0 / (1.0 + exp(-dot)) >= 0.5 as pred,
+                   y
+            from ds join lab using (id)
         """,
         "line_repetition": """
             with s as (select doc_id, string_split(text, ' ') as ws

@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "embedding_near_dup",
     "dsir_topk",
     "nb_langid",
+    "lr_quality",
     "trap_hosts",
     "recrawl_priority",
     "rank_priority",
