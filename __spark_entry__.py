@@ -1581,7 +1581,9 @@ def _q_cleaning_funnel(spark, sf):
     surv = kept.join(gop.where("keep"), "doc_id")
     b = surv.agg(
         F.count(F.lit(1)).alias("n_gopher"),
-        F.countDistinct("text").alias("n_unique"),
+        # distinct over 16-byte digests, not full document strings —
+        # the exact_dedup shuffle shape at corpus scale
+        F.countDistinct(F.md5("text")).alias("n_unique"),
     )
     return a.crossJoin(b)
 
@@ -3409,7 +3411,7 @@ def oracle_sql() -> dict[str, str]:
             select (select count(*) from flat2) as n_raw,
                    (select count(*) from flat2 where keep_c4) as n_c4,
                    (select count(*) from surv) as n_gopher,
-                   (select count(distinct text) from surv) as n_unique
+                   (select count(distinct md5(text)) from surv) as n_unique
         """,
         "lr_quality_model": f"""
             with {_LR_CTE}
