@@ -37,22 +37,62 @@ def main(paths: list[str]) -> int:
         raw_4n += [r["pages_per_sec"] for r in s4]
         norm_n += [r["norm_rate"] for r in sn if "norm_rate" in r]
         norm_4n += [r["norm_rate"] for r in s4 if "norm_rate" in r]
-        per_session.append(
-            {
-                "file": p,
-                "reps": min(len(sn), len(s4)),
-                "best": round(
-                    max(r["pages_per_sec"] for r in s4)
-                    / max(r["pages_per_sec"] for r in sn)
-                    / 4,
-                    3,
+        import statistics as _st
+
+        sess = {
+            "file": p,
+            "reps": min(len(sn), len(s4)),
+            "best": round(
+                max(r["pages_per_sec"] for r in s4)
+                / max(r["pages_per_sec"] for r in sn)
+                / 4,
+                3,
+            )
+            if sn and s4
+            else None,
+        }
+        if sn and s4:
+            sess["raw_median"] = round(
+                _st.median(r["pages_per_sec"] for r in s4)
+                / _st.median(r["pages_per_sec"] for r in sn)
+                / 4,
+                3,
+            )
+            nn = [r["norm_rate"] for r in sn if "norm_rate" in r]
+            n4 = [r["norm_rate"] for r in s4 if "norm_rate" in r]
+            if nn and n4:
+                sess["normalized"] = round(
+                    _st.median(n4) / _st.median(nn) / 4, 3
                 )
-                if sn and s4
-                else None,
-            }
-        )
+        per_session.append(sess)
+    # SESSION-BLOCKED aggregation: each session's ratio compares arms
+    # run within the SAME box-weather window (the blocking unit the
+    # protocol interleaves for); the flat pool below additionally mixes
+    # rates across sessions hours apart, re-importing exactly the
+    # epoch confound the within-session design removes — so the
+    # blocked medians are the headline and the flat pool is reported
+    # as the conservative unblocked view.
+    blocked = {
+        "sessions": len(per_session),
+        "median_session_best": round(
+            statistics.median(s["best"] for s in per_session if s["best"]), 3
+        ),
+        "median_session_raw_median": round(
+            statistics.median(
+                s["raw_median"] for s in per_session if "raw_median" in s
+            ),
+            3,
+        ),
+        "median_session_normalized": round(
+            statistics.median(
+                s["normalized"] for s in per_session if "normalized" in s
+            ),
+            3,
+        ),
+    }
     out = {
         "sessions": per_session,
+        "session_blocked": blocked,
         "n_reps": min(len(raw_n), len(raw_4n)),
         "rate_n_best": max(raw_n),
         "rate_4n_best": max(raw_4n),
