@@ -1633,6 +1633,32 @@ def _block_docs(spark, sf):
     )
 
 
+def _q_phrase_search(spark, sf):
+    """Positional phrase search THROUGH the sharded inverted index
+    (build -> per-term posting join -> codegen adjacency); the oracle
+    answers the same query by direct positional scan of the corpus —
+    two different algorithms that must agree, so the match checks the
+    whole index round-trip, not a replay."""
+    from webcrawler_spark.operators.index import (
+        build_inverted_index,
+        phrase_search,
+    )
+
+    ix = build_inverted_index(_docs(spark, sf))
+    return phrase_search(ix, "table scan")
+
+
+def _q_term_stats(spark, sf):
+    """Document/collection frequencies off the index alone (the df/cf
+    stats a query planner ranks with), shard-partial rollup."""
+    from webcrawler_spark.operators.index import (
+        build_inverted_index,
+        term_doc_freqs,
+    )
+
+    return term_doc_freqs(build_inverted_index(_docs(spark, sf)))
+
+
 def _lr_inputs(spark, sf):
     """Hashed features + labels for the quality-classifier queries:
     y = doc mentions the word 'spark' (linearly learnable through the
@@ -2051,6 +2077,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_repetition": _q_line_repetition,
         "lr_quality_model": _q_lr_quality_model,
         "lr_quality": _q_lr_quality,
+        "phrase_search": _q_phrase_search,
+        "term_stats": _q_term_stats,
         "domain_cap": _q_domain_cap,
         "sitemap_parse": _q_sitemap_parse,
         "robots_sitemaps": _q_robots_sitemaps,
@@ -3412,6 +3440,32 @@ def oracle_sql() -> dict[str, str]:
                    (select count(*) from flat2 where keep_c4) as n_c4,
                    (select count(*) from surv) as n_gopher,
                    (select count(distinct md5(text)) from surv) as n_unique
+        """,
+        "phrase_search": """
+            with s as (select doc_id,
+                              list_filter(string_split(text, ' '),
+                                          w -> w <> '') as ws
+                       from documents),
+            hits as (
+              select doc_id,
+                     cast(len(list_filter(
+                       generate_series(1, greatest(len(ws) - 1, 0)),
+                       i -> ws[i] = 'table' and ws[i + 1] = 'scan'))
+                       as bigint) as n_matches
+              from s)
+            select doc_id, n_matches from hits where n_matches > 0
+        """,
+        "term_stats": """
+            with t as (
+              select doc_id, unnest(list_filter(string_split(text, ' '),
+                                                w -> w <> '')) as term
+              from documents),
+            td as (select term, doc_id, count(*) as occ
+                   from t group by term, doc_id)
+            select term,
+                   cast(count(*) as bigint) as doc_freq,
+                   cast(sum(occ) as bigint) as coll_freq
+            from td group by term
         """,
         "lr_quality_model": f"""
             with {_LR_CTE}
