@@ -1633,6 +1633,20 @@ def _block_docs(spark, sf):
     )
 
 
+def _q_cluster_keeper(spark, sf):
+    """FineWeb-style survivor choice: near-dup clusters (LSH →
+    Jaccard → connected components) keep the LONGEST member (tie →
+    min id) via a max_by monoid — no window, map-side-resolvable even
+    for a pathological mega-cluster."""
+    from webcrawler_spark.operators.graph import duplicate_clusters
+    from webcrawler_spark.operators.mixing import keep_best_per_cluster
+
+    d = _docs(spark, sf)
+    clusters = duplicate_clusters(d)
+    scores = d.select("doc_id", F.col("n_chars").cast("long").alias("score"))
+    return keep_best_per_cluster(clusters, scores)
+
+
 def _q_phrase_search(spark, sf):
     """Positional phrase search THROUGH the sharded inverted index
     (build -> per-term posting join -> codegen adjacency); the oracle
@@ -2079,6 +2093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lr_quality": _q_lr_quality,
         "phrase_search": _q_phrase_search,
         "term_stats": _q_term_stats,
+        "cluster_keeper": _q_cluster_keeper,
         "domain_cap": _q_domain_cap,
         "sitemap_parse": _q_sitemap_parse,
         "robots_sitemaps": _q_robots_sitemaps,
@@ -3440,6 +3455,58 @@ def oracle_sql() -> dict[str, str]:
                    (select count(*) from flat2 where keep_c4) as n_c4,
                    (select count(*) from surv) as n_gopher,
                    (select count(distinct md5(text)) from surv) as n_unique
+        """,
+        "cluster_keeper": f"""
+
+            with recursive {_SHINGLES_CTE},
+            sig as (
+              select doc_id, b.band_id,
+                     min(md5(b.band_id || '|' || shingle)) as band_min
+              from sh cross join
+                   (select unnest(['0','1','2','3']) as band_id) b
+              group by doc_id, b.band_id
+            ),
+            cand as (
+              select distinct l.doc_id as a, r.doc_id as b
+              from sig l join sig r using (band_id, band_min)
+              where l.doc_id < r.doc_id
+            ),
+            sizes as (select doc_id, count(*) as sz from sh group by doc_id),
+            inter as (
+              select c.a, c.b, count(*) as inter
+              from cand c
+              join sh sa on sa.doc_id = c.a
+              join sh sb on sb.doc_id = c.b and sb.shingle = sa.shingle
+              group by c.a, c.b
+            ),
+            pairs as (
+              select a, b from inter
+              join sizes sa on sa.doc_id = a
+              join sizes sb on sb.doc_id = b
+              where round(inter / (sa.sz + sb.sz - inter), 6) >= 0.2
+            ),
+            ed as (select a as u, b as v from pairs
+                   union select b as u, a as v from pairs),
+            reach as (
+              select u as node, u as root from ed
+              union
+              select e.v as node, r.root from reach r
+              join ed e on e.u = r.node
+            ),
+            comp as (select node, min(root) as component
+                     from reach group by node),
+            cl as (
+              select d.doc_id,
+                     coalesce(c.component, d.doc_id) as component,
+                     cast(d.n_chars as bigint) as score
+              from documents d left join comp c on c.node = d.doc_id),
+            rk as (
+              select doc_id, component, score,
+                     row_number() over (partition by component
+                                        order by score desc, doc_id asc)
+                       as rn
+              from cl)
+            select doc_id, component, score, rn = 1 as keeper from rk
         """,
         "phrase_search": """
             with s as (select doc_id,

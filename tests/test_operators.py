@@ -610,3 +610,37 @@ def test_quality_sample_buckets_and_determinism(spark):
     }
     with _pytest.raises(ValueError):
         quality_sample(df, cuts=[-3.0], rates=[1.0], score_col="score")
+
+
+def test_keep_best_per_cluster_argmax_and_ties(spark):
+    from webcrawler_spark.operators.mixing import keep_best_per_cluster
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 5), (6, 5)],
+        "doc_id long, component long",
+    )
+    scores = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (4, 7), (5, 2), (6, 2)],
+        "doc_id long, score long",
+    )
+    out = {r["doc_id"]: r for r in keep_best_per_cluster(clusters, scores).collect()}
+    assert len(out) == 6
+    # cluster 1: 2 and 3 tie at 30 -> min id (2) wins
+    assert [out[i]["keeper"] for i in (1, 2, 3)] == [False, True, False]
+    assert out[4]["keeper"] is True          # singleton keeps itself
+    assert [out[5]["keeper"], out[6]["keeper"]] == [True, False]  # tie -> 5
+
+
+def test_keep_best_per_cluster_no_window_in_plan(spark):
+    from webcrawler_spark.operators.mixing import keep_best_per_cluster
+
+    clusters = spark.range(100).selectExpr("id as doc_id", "id % 3 as component")
+    scores = spark.range(100).selectExpr("id as doc_id", "id * 7 % 13 as score")
+    plan = (
+        keep_best_per_cluster(clusters, scores)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+    assert "partial_max_by" in plan.lower() or "partial" in plan.lower()

@@ -302,3 +302,45 @@ def leakage_safe_split(
     for name, cut in reversed(cuts):
         expr = F.when(u < F.lit(cut), F.lit(name)).otherwise(expr)
     return clusters.select(id_col, "component", expr.alias("split"))
+
+
+def keep_best_per_cluster(
+    clusters: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "component",
+    score_col: str = "score",
+) -> DataFrame:
+    """FineWeb-style near-duplicate survivor choice: per cluster keep
+    the HIGHEST-scoring document (tie → smallest id) instead of the
+    min-id canonical that ``duplicate_clusters`` defaults to — when a
+    page exists in several near-identical variants, the pipeline
+    should retain the best one (longest / highest quality), not the
+    one that happened to be crawled first.
+
+    Output: (id, cluster, score, keeper boolean) for every input doc.
+
+    Scale shape: the argmax is ``max_by(id, struct(score, -id))`` — a
+    MAX monoid, so Spark's partial aggregation resolves each cluster
+    map-side and only one candidate row per (task, cluster) shuffles;
+    a pathological million-doc cluster never concentrates its rows in
+    one window partition (no row_number anywhere). One join to
+    attach scores, one hash aggregate, one broadcast-or-hash join
+    back; singleton clusters keep themselves by construction.
+    """
+    j = clusters.join(scores, id_col)
+    keepers = j.groupBy(cluster_col).agg(
+        F.max_by(
+            F.col(id_col),
+            F.struct(F.col(score_col), (-F.col(id_col)).cast("long")),
+        ).alias("_keeper_id")
+    )
+    return (
+        j.join(keepers, cluster_col)
+        .select(
+            F.col(id_col),
+            F.col(cluster_col),
+            F.col(score_col),
+            (F.col(id_col) == F.col("_keeper_id")).alias("keeper"),
+        )
+    )
