@@ -969,6 +969,36 @@ def _q_warc_roundtrip(spark, sf):
     )
 
 
+def _q_wet_roundtrip(spark, sf):
+    """WET interchange (Common Crawl's extracted-text conversion
+    records), value-checked end-to-end like warc_roundtrip: documents
+    → conversion records through the rotating gzip sink → distributed
+    parse back; the oracle recomputes (url, byte length, md5) straight
+    from the documents table."""
+    import tempfile
+
+    from webcrawler_spark.sources.warc import read_wet, write_wet
+
+    out = tempfile.mkdtemp(prefix="wcspark-wetrt-")
+    d = _docs(spark, sf)
+    payloads = d.select(
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example/doc/"),
+            F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 7 == 0, ".pdf").otherwise(""),
+        ).alias("url"),
+        "text",
+    )
+    write_wet(payloads, out, records_per_file=100).collect()
+    return read_wet(spark, out + "/*.warc.wet.gz").select(
+        "url",
+        F.octet_length(F.encode("text", "utf-8")).cast("long").alias("n_bytes"),
+        F.md5("text").alias("text_md5"),
+    )
+
+
 def _q_stateful_schedule(spark, sf):
     """§2.8 — applyInPandasWithState politeness scheduler over a
     bounded candidate stream (AvailableNow drain), value-checked: the
@@ -2134,6 +2164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_codec": _q_multimodal_codec,
         "multimodal_rowsonly": _q_multimodal_rowsonly,
         "warc_roundtrip": _q_warc_roundtrip,
+        "wet_roundtrip": _q_wet_roundtrip,
         "stateful_schedule": _q_stateful_schedule,
         "stream_lsh_dedup": _q_stream_lsh_dedup,
         "stream_hdr": _q_stream_hdr,
@@ -3965,6 +3996,12 @@ def oracle_sql() -> dict[str, str]:
                    'text/html; charset=utf-8' as content_type,
                    octet_length(encode(text))::BIGINT as n_bytes,
                    md5(text) as payload_md5
+            from documents
+        """,
+        "wet_roundtrip": f"""
+            select {_URL_SQL} as url,
+                   octet_length(encode(text))::BIGINT as n_bytes,
+                   md5(text) as text_md5
             from documents
         """,
         "simhash": """

@@ -84,3 +84,63 @@ def test_warc_lazy_manifest_is_distributed(spark, tmp_path):
     rows = man.collect()
     pids = {os.path.basename(r["path"]).split("-")[1] for r in rows}
     assert len(pids) == 2  # one file set per partition, no global lock
+
+
+def test_wet_roundtrip_and_mixed_archive_skip(spark, tmp_path_factory):
+    from webcrawler_spark.sources.warc import (
+        read_warc,
+        read_wet,
+        write_warc,
+        write_wet,
+    )
+
+    root = str(tmp_path_factory.mktemp("wet"))
+    docs = spark.createDataFrame(
+        [
+            ("https://a.example/1", "first extracted text"),
+            ("https://b.example/2", "second text with unicode üß"),
+            ("https://c.example/3", ""),
+        ],
+        "url string, text string",
+    )
+    manifest = write_wet(docs, f"{root}/wet", records_per_file=2).collect()
+    assert sum(m["n_records"] for m in manifest) == 3
+    back = {r["url"]: r["text"] for r in read_wet(spark, f"{root}/wet/*.warc.wet.gz").collect()}
+    assert back == {r["url"]: r["text"] for r in docs.collect()}
+
+    # response records in the same directory are skipped by read_wet,
+    # and conversion records are invisible to the response parser's
+    # record loop only via type filter (mixed-archive hygiene)
+    pages = docs.selectExpr(
+        "url", "200 as status", "'text/html' as content_type",
+        "encode(text, 'utf-8') as payload")
+    write_warc(pages, f"{root}/wet", prefix="resp", records_per_file=2).collect()
+    assert read_wet(spark, f"{root}/wet/*.gz").count() == 3
+    assert read_warc(spark, f"{root}/wet/resp-*.warc.gz").count() == 3
+
+
+def test_wet_records_link_to_warc_records(spark, tmp_path_factory):
+    """WARC-Refers-To of the conversion record equals the response
+    record's WARC-Record-ID urn (the WARC/WET pairing contract)."""
+    import gzip
+    import glob
+
+    from webcrawler_spark.sources.warc import write_warc, write_wet
+
+    root = str(tmp_path_factory.mktemp("link"))
+    docs = spark.createDataFrame(
+        [("https://a.example/1", "text one")], "url string, text string"
+    )
+    write_wet(docs, f"{root}/out", records_per_file=10).collect()
+    pages = docs.selectExpr(
+        "url", "200 as status", "'text/html' as content_type",
+        "encode(text, 'utf-8') as payload")
+    write_warc(pages, f"{root}/out", records_per_file=10).collect()
+    raw = b"".join(
+        gzip.decompress(open(p, "rb").read())
+        for p in sorted(glob.glob(f"{root}/out/*.gz"))
+    ).decode()
+    import re
+    refers = re.search(r"WARC-Refers-To: <(urn:md5:[0-9a-f]+)>", raw).group(1)
+    rid = re.search(r"WARC-Type: response.*?WARC-Record-ID: <(urn:md5:[0-9a-f]+)>", raw, re.S).group(1)
+    assert refers == rid

@@ -78,21 +78,12 @@ def _record_bytes(
     return head + http + b"\r\n\r\n"
 
 
-def write_warc(
-    df: DataFrame,
-    out_dir: str,
-    prefix: str = "results",
-    records_per_file: int = RECORDS_PER_FILE,
-) -> DataFrame:
-    """Distributed WARC sink; returns the (lazy) per-file manifest.
-
-    ``df`` columns: url string, status int, content_type string,
-    payload binary, fetch_ts double (nullable). Rotation: a new gzip
-    file every ``records_per_file`` records per partition
-    (WarcFileSave.py:39-41 semantics, partition-local instead of
-    globally locked).
-    """
-    os.makedirs(out_dir, exist_ok=True)
+def _rotating_sink(out_dir: str, prefix: str, suffix: str,
+                   records_per_file: int, encode):
+    """Shared partition-local rotating gzip sink (one gzip member per
+    record, a new file every ``records_per_file`` records per
+    partition — WarcFileSave.py:39-41 semantics without the global
+    lock). ``encode``: row namedtuple → record bytes."""
 
     def sink(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
@@ -104,7 +95,7 @@ def write_warc(
 
         def path() -> str:
             return os.path.join(
-                out_dir, f"{prefix}-p{pid:05d}-{seq:04d}.warc.gz"
+                out_dir, f"{prefix}-p{pid:05d}-{seq:04d}{suffix}"
             )
 
         def flush() -> None:
@@ -121,13 +112,7 @@ def write_warc(
 
         for pdf in batches:
             for row in pdf.itertuples(index=False):
-                rec = _record_bytes(
-                    row.url,
-                    int(row.status),
-                    row.content_type,
-                    bytes(row.payload) if row.payload is not None else b"",
-                    getattr(row, "fetch_ts", None),
-                )
+                rec = encode(row)
                 if buf is None:
                     buf = io.BytesIO()
                 # one gzip member per record: standard .warc.gz layout
@@ -138,9 +123,82 @@ def write_warc(
         flush()
         yield pd.DataFrame(out, columns=["path", "n_records", "n_bytes"])
 
+    return sink
+
+
+def write_warc(
+    df: DataFrame,
+    out_dir: str,
+    prefix: str = "results",
+    records_per_file: int = RECORDS_PER_FILE,
+) -> DataFrame:
+    """Distributed WARC sink; returns the (lazy) per-file manifest.
+
+    ``df`` columns: url string, status int, content_type string,
+    payload binary, fetch_ts double (nullable).
+    """
+    os.makedirs(out_dir, exist_ok=True)
+
+    def encode(row) -> bytes:
+        return _record_bytes(
+            row.url,
+            int(row.status),
+            row.content_type,
+            bytes(row.payload) if row.payload is not None else b"",
+            getattr(row, "fetch_ts", None),
+        )
+
     cols = ["url", "status", "content_type", "payload"]
     if "fetch_ts" in df.columns:
         cols.append("fetch_ts")
+    sink = _rotating_sink(out_dir, prefix, ".warc.gz", records_per_file, encode)
+    return df.select(*cols).mapInPandas(sink, _MANIFEST_SCHEMA)
+
+
+def _wet_record_bytes(url: str, text: bytes, ts: float | None) -> bytes:
+    """One WARC/1.1 ``conversion`` record (the WET layout Common Crawl
+    ships extracted text in): plain-text payload, no HTTP envelope,
+    WARC-Refers-To naming the response record the text came from
+    (same urn scheme as _record_bytes, so WARC+WET pairs link up)."""
+    rid = hashlib.md5((url or "").encode("utf-8")).hexdigest()
+    head = (
+        "WARC/1.1\r\n"
+        "WARC-Type: conversion\r\n"
+        f"WARC-Record-ID: <urn:md5:wet:{rid}>\r\n"
+        f"WARC-Refers-To: <urn:md5:{rid}>\r\n"
+        f"WARC-Date: {_warc_date(ts)}\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        "Content-Type: text/plain\r\n"
+        f"Content-Length: {len(text)}\r\n"
+        "\r\n"
+    ).encode("utf-8")
+    return head + text + b"\r\n\r\n"
+
+
+def write_wet(
+    df: DataFrame,
+    out_dir: str,
+    prefix: str = "wet",
+    records_per_file: int = RECORDS_PER_FILE,
+) -> DataFrame:
+    """Distributed WET sink (extracted-text conversion records);
+    returns the (lazy) per-file manifest. ``df`` columns: url string,
+    text string, fetch_ts double (nullable)."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    def encode(row) -> bytes:
+        return _wet_record_bytes(
+            row.url,
+            (row.text or "").encode("utf-8"),
+            getattr(row, "fetch_ts", None),
+        )
+
+    cols = ["url", "text"]
+    if "fetch_ts" in df.columns:
+        cols.append("fetch_ts")
+    sink = _rotating_sink(
+        out_dir, prefix, ".warc.wet.gz", records_per_file, encode
+    )
     return df.select(*cols).mapInPandas(sink, _MANIFEST_SCHEMA)
 
 
@@ -231,3 +289,33 @@ def warc_input_for_crawl(pages: DataFrame) -> DataFrame:
         F.col("html").alias("payload"),
         F.lit(None).cast("double").alias("fetch_ts"),
     )
+
+
+_WET_READ_SCHEMA = "url string, text string, warc_date string, path string"
+
+
+def read_wet(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed WET source: conversion records back to (url, text);
+    non-conversion records in mixed archives are skipped."""
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                for fields, body in _parse_warc_stream(bytes(content)):
+                    if fields.get("warc-type") != "conversion":
+                        continue
+                    rows.append(
+                        (
+                            fields.get("warc-target-uri"),
+                            body.decode("utf-8", "replace"),
+                            fields.get("warc-date"),
+                            fpath,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["url", "text", "warc_date", "path"]
+            )
+
+    return files.mapInPandas(parse, _WET_READ_SCHEMA)
