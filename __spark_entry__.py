@@ -1744,6 +1744,24 @@ def _q_lr_quality(spark, sf):
     return lr_score(feats, w).join(labels, "id")
 
 
+def _q_ngram_repetition(spark, sf):
+    """Gopher §A1.1 n-gram families: top-2-gram char fraction + char
+    COVERAGE of duplicated 5-grams (interval union over positions, no
+    double counting). Every 4th doc gets its first 10 words appended
+    so duplicated 5-grams exist; the oracle computes both signals
+    RELATIONALLY (group-by counts + coverage join) against the array
+    formulation — independent formulations, same answer."""
+    from webcrawler_spark.operators.cleaning import ngram_repetition_stats
+
+    d = _docs(spark, sf)
+    ws = F.split(F.col("text"), " ")
+    t2 = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat(F.col("text"), F.lit(" "), F.array_join(F.slice(ws, 1, 10), " ")),
+    ).otherwise(F.col("text"))
+    return ngram_repetition_stats(d.select("doc_id", t2.alias("text")))
+
+
 def _q_line_repetition(spark, sf):
     """Gopher §A1.1 line-granularity repetition signals: dup-line
     fraction and repeated-line char fraction, over lined docs with
@@ -2119,6 +2137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "justext_blocks": _q_justext_blocks,
         "cleaning_funnel": _q_cleaning_funnel,
         "line_repetition": _q_line_repetition,
+        "ngram_repetition": _q_ngram_repetition,
         "lr_quality_model": _q_lr_quality_model,
         "lr_quality": _q_lr_quality,
         "phrase_search": _q_phrase_search,
@@ -3580,6 +3599,70 @@ def oracle_sql() -> dict[str, str]:
                    1.0 / (1.0 + exp(-dot)) >= 0.5 as pred,
                    y
             from ds join lab using (id)
+        """,
+        "ngram_repetition": """
+            with base as materialized (
+              select doc_id,
+                     case when doc_id % 4 = 0
+                          then text || ' ' || array_to_string(
+                                 list_slice(string_split(text, ' '), 1, 10),
+                                 ' ')
+                          else text end as t2
+              from documents),
+            w as materialized (
+              select doc_id,
+                     list_filter(string_split(t2, ' '), x -> x <> '') as ws
+              from base),
+            tot as (select doc_id,
+                           cast(len(ws) as bigint) as n_words,
+                           cast(coalesce(list_sum(list_transform(ws,
+                                x -> length(x))), 0) as bigint) as total_chars
+                    from w),
+            g2 as (
+              select doc_id, i,
+                     array_to_string(list_slice(ws, i, i + 1), ' ') as g
+              from w, unnest(generate_series(1, greatest(len(ws) - 1, 0)))
+                        as t(i)),
+            g2c as (select doc_id, g, count(*) as cnt
+                    from g2 group by doc_id, g),
+            top as (
+              select doc_id, g as top_gram, cnt as top_gram_cnt
+              from (select doc_id, g, cnt,
+                           row_number() over (partition by doc_id
+                                              order by cnt desc, g asc) as rn
+                    from g2c)
+              where rn = 1),
+            g5 as (
+              select doc_id, i,
+                     array_to_string(list_slice(ws, i, i + 4), ' ') as g
+              from w, unnest(generate_series(1, greatest(len(ws) - 4, 0)))
+                        as t(i)),
+            dup5 as (select doc_id, g from g5
+                     group by doc_id, g having count(*) >= 2),
+            cover as (
+              select distinct g5.doc_id, g5.i + k.k as p
+              from g5 join dup5 on dup5.doc_id = g5.doc_id and dup5.g = g5.g
+              cross join (select unnest(generate_series(0, 4)) as k) k),
+            covchars as (
+              select c.doc_id,
+                     cast(sum(length(w.ws[c.p])) as bigint) as covered
+              from cover c join w on w.doc_id = c.doc_id
+              group by c.doc_id)
+            select t.doc_id,
+                   t.n_words,
+                   coalesce(tp.top_gram, '') as top_gram,
+                   cast(coalesce(tp.top_gram_cnt, 0) as bigint)
+                     as top_gram_cnt,
+                   case when t.total_chars <= 0 then 0.0
+                        else (coalesce(tp.top_gram_cnt, 0)
+                              * length(coalesce(tp.top_gram, '')))
+                             / t.total_chars end as top_gram_char_frac,
+                   case when t.total_chars <= 0 then 0.0
+                        else coalesce(cc.covered, 0) / t.total_chars
+                   end as dup_gram_char_frac
+            from tot t
+            left join top tp on tp.doc_id = t.doc_id
+            left join covchars cc on cc.doc_id = t.doc_id
         """,
         "line_repetition": """
             with s as (select doc_id, string_split(text, ' ') as ws

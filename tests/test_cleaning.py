@@ -251,3 +251,51 @@ def test_line_repetition_paragraph_variant_and_plan(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_ngram_repetition_stats_hand_computed(spark):
+    df = spark.createDataFrame(
+        [
+            # 'ab cd' appears twice (top 2-gram); the 5-gram
+            # 'ab cd ab cd xy' appears twice -> covers positions 1..6
+            (1, "ab cd ab cd xy ab cd ab cd xy zz"),
+            (2, "one two three"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in cleaning.ngram_repetition_stats(df).collect()}
+    r1 = out[1]
+    assert r1["n_words"] == 11
+    # bigram counts: 'ab cd' x4, 'cd ab' x2, 'cd xy' x2, 'xy ab' x1, 'xy zz' x1
+    assert (r1["top_gram"], r1["top_gram_cnt"]) == ("ab cd", 4)
+    total = 2 * 11  # eleven 2-char words
+    assert r1["top_gram_char_frac"] == 4 * len("ab cd") / total
+    # duplicated 5-grams: positions 1..10 covered (word 'zz' not)
+    assert r1["dup_gram_char_frac"] == 20 / total
+    r2 = out[2]
+    assert (r2["top_gram"], r2["top_gram_cnt"]) == ("one two", 1)
+    assert r2["dup_gram_char_frac"] == 0.0
+    r3 = out[3]
+    assert (r3["top_gram"], r3["top_gram_cnt"]) == ("", 0)
+    assert r3["top_gram_char_frac"] == 0.0 and r3["dup_gram_char_frac"] == 0.0
+
+
+def test_ngram_repetition_tie_breaks_lexicographic(spark):
+    df = spark.createDataFrame(
+        [(1, "zz yy zz yy aa bb aa bb")], "doc_id long, text string"
+    )
+    r = cleaning.ngram_repetition_stats(df).collect()[0]
+    # 'aa bb', 'zz yy' both occur twice -> smallest gram wins
+    assert (r["top_gram"], r["top_gram_cnt"]) == ("aa bb", 2)
+
+
+def test_ngram_repetition_shuffle_free(spark):
+    df = spark.createDataFrame([(1, "a b c d e f g")], "doc_id long, text string")
+    plan = (
+        cleaning.ngram_repetition_stats(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan

@@ -182,6 +182,126 @@ def repetition_stats(
     )
 
 
+def ngram_repetition_stats(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 2,
+    dup_n: int = 5,
+) -> DataFrame:
+    """The remaining two Gopher §A1.1 repetition families (Rae et al.
+    2021): the char fraction of the single MOST FREQUENT ``top_n``-gram
+    (count x gram length / total word chars; tie → lexicographically
+    smallest gram, which the sorted-run scan yields for free), and the
+    char fraction COVERED by duplicated ``dup_n``-grams — positions
+    inside any occurrence of any gram appearing ≥2 times count once,
+    however many overlapping duplicate grams touch them (the
+    double-counting trap the paper's wording implies; coverage is an
+    interval union over word positions, not a sum over grams).
+
+    All-integer position/char arithmetic; the two fractions are the
+    only divisions (same IEEE op both engines). Pure codegen array
+    projection — zero shuffles; per-doc cost O(words · dup_n), bounded
+    by the document.
+
+    Output: (id, n_words, top_gram, top_gram_cnt, top_gram_char_frac,
+    dup_gram_char_frac).
+    """
+    words = F.filter(F.split(F.col(col), " "), lambda w: w != "")
+    n_words = F.size(words)
+    total_chars = F.aggregate(
+        words, F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+    )
+
+    def grams_of(n: int):
+        cnt = F.greatest(n_words - F.lit(n - 1), F.lit(0))
+        return F.when(cnt < 1, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), cnt),
+                lambda i: F.array_join(F.slice(words, i, n), " "),
+            )
+        )
+
+    # --- top_n: most frequent gram via sorted runs ---------------------
+    g_top = grams_of(top_n)
+    srt = F.array_sort(g_top)
+    starts = F.filter(
+        F.transform(
+            srt,
+            lambda x, i: F.when(i == 0, i).otherwise(
+                F.when(F.element_at(srt, i) != x, i).otherwise(F.lit(-1))
+            ),
+        ),
+        lambda v: v >= 0,
+    )
+    ends = F.concat(
+        F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))),
+        F.array(F.size(srt)),
+    )
+    runs = F.zip_with(starts, ends, lambda s, e: F.struct(
+        (e - s).alias("cnt"), s.alias("at")))
+    best = F.aggregate(
+        runs,
+        F.struct(F.lit(0).alias("cnt"), F.lit(-1).alias("at")),
+        lambda acc, r: F.when(r["cnt"] > acc["cnt"], r).otherwise(acc),
+    )
+    top_gram = F.when(
+        best["at"] >= 0, F.element_at(srt, best["at"] + 1)
+    ).otherwise(F.lit(""))
+    top_cnt = best["cnt"]
+    top_frac = F.when(total_chars <= 0, F.lit(0.0)).otherwise(
+        (top_cnt * F.length(top_gram)).cast("double") / total_chars
+    )
+
+    # --- dup_n: char coverage of duplicated grams ----------------------
+    g_dup = grams_of(dup_n)
+    sd = F.array_sort(g_dup)
+    dup_set = F.array_distinct(
+        F.filter(
+            F.transform(
+                sd,
+                lambda x, i: F.when(i == 0, F.lit(None).cast("string")).otherwise(
+                    F.when(F.element_at(sd, i) == x, x).otherwise(
+                        F.lit(None).cast("string")
+                    )
+                ),
+            ),
+            lambda v: v.isNotNull(),
+        )
+    )
+    hit_positions = F.array_distinct(
+        F.flatten(
+            F.filter(
+                F.transform(
+                    g_dup,
+                    lambda g, i: F.when(
+                        F.array_contains(dup_set, g),
+                        F.sequence(i + 1, i + dup_n),
+                    ).otherwise(F.array().cast("array<int>")),
+                ),
+                lambda a: F.size(a) > 0,
+            )
+        )
+    )
+    covered_chars = F.aggregate(
+        hit_positions,
+        F.lit(0).cast("long"),
+        lambda a, p: a + F.length(F.element_at(words, p)),
+    )
+    dup_frac = F.when(total_chars <= 0, F.lit(0.0)).otherwise(
+        covered_chars.cast("double") / total_chars
+    )
+
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        top_gram.alias("top_gram"),
+        top_cnt.cast("long").alias("top_gram_cnt"),
+        top_frac.alias("top_gram_char_frac"),
+        dup_frac.alias("dup_gram_char_frac"),
+    )
+
+
 def line_repetition_stats(
     df: DataFrame,
     col: str = "text",
