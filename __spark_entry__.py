@@ -498,6 +498,70 @@ def _q_opic_importance(spark, sf):
     )
 
 
+def _q_hits_scores(spark, sf):
+    """HITS hubs/authorities (Kleinberg 1999) over the same
+    deterministic host graph as host_pagerank: 5 L1-normalized
+    mutual-reinforcement iterations — the second frontier-importance
+    axis beside pagerank/opic (hub-ness flags link farms, authority
+    flags canonical pages). Two shuffles/iter, 1-row normalizers."""
+    from webcrawler_spark.operators.graph import hits
+
+    docs = _docs(spark, sf).select("doc_id", "source")
+    n_docs = docs.count()
+    # QUADRATIC partner (unlike pagerank's affine 31i+7, which
+    # collapses mod-20 to a host-level permutation — a regular graph
+    # converges to the uniform fixpoint and value-checks nothing):
+    # i² mod n is not a bijection, so host in-degrees genuinely vary
+    partner = docs.where(F.col("doc_id") % 3 == 0).select(
+        ((F.col("doc_id") * F.col("doc_id") + 7) % n_docs).alias("pid"),
+        F.col("source").alias("src"),
+    )
+    right = docs.select(F.col("doc_id").alias("pid"), F.col("source").alias("dst"))
+    edges = (
+        partner.join(right, "pid")
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    out = hits(edges, n_iter=5)
+    return out.select(
+        F.col("node").alias("host"),
+        F.round("hub", 6).alias("hub"),
+        F.round("authority", 6).alias("authority"),
+    )
+
+
+def _q_heavy_hitters(spark, sf):
+    """Exact frequent terms via the two-pass Misra-Gries pipeline
+    (MG candidates per partition → broadcast recount → exact
+    cnt·(k+1) > n threshold): every word of the corpus occurring more
+    than 1/40th of total tokens. The groupBy that would shuffle the
+    whole vocabulary never runs — only candidate recounts (≤ k·P
+    rows) cross the wire."""
+    from webcrawler_spark.operators.sketches import heavy_hitters
+    from webcrawler_spark.operators.textstats import words_col
+
+    words = _docs(spark, sf).select(
+        F.explode(words_col(F.col("text"))).alias("term")
+    )
+    return heavy_hitters(words, "term", k=39).select(
+        F.col("item").alias("term"), F.col("cnt").alias("cnt")
+    )
+
+
+def _q_ccnet_buckets(spark, sf):
+    """CCNet head/middle/tail tiering (Wenzek et al. 2020 §4.3): every
+    document bucketed into its language's best/middle/worst third by
+    self-trained interpolated-bigram LM score (micro-log10 integer
+    units). Cutoffs come from a window over DISTINCT quantized scores
+    per language — never over the document table."""
+    from webcrawler_spark.operators.lm import ccnet_buckets
+
+    return ccnet_buckets(_docs(spark, sf)).select(
+        "doc_id", "lang", "score_q", "bucket"
+    )
+
+
 def _q_vocab_build(spark, sf):
     """Frequency vocabulary (top-500 terms, ids by count desc / term
     asc): explode → hash agg → TakeOrderedAndProject; the rank window
@@ -2193,6 +2257,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_topk_est": _q_cms_topk_est,
         "hdr_quantiles": _q_hdr_quantiles,
         "crawl_rowsonly": _q_crawl_rowsonly,
+        "hits_scores": _q_hits_scores,
+        "heavy_hitters": _q_heavy_hitters,
+        "ccnet_buckets": _q_ccnet_buckets,
     }
     return {name: _tuned(fn) for name, fn in q.items()}
 
@@ -2368,6 +2435,59 @@ def _pagerank_oracle_sql(n_iter: int = 5) -> str:
         )
     parts.append(
         f"select node as host, round(rank, 6) as rank from r{n_iter}"
+    )
+    return "".join(parts)
+
+
+def _hits_oracle_sql(n_iter: int = 5) -> str:
+    """Unrolled HITS mirroring graph.hits's exact float op order:
+    a_i = coalesce(Σ_{u→v} h_{i-1}, 0) / Σ a_raw, then
+    h_i = coalesce(Σ_{u→v} a_i, 0) / Σ h_raw (L1 normalization; sums
+    range over the aggregate rows, as in the Spark plan). Same
+    deterministic host graph as _pagerank_oracle_sql."""
+    parts = [
+        """
+        with idx as materialized (select doc_id, source from documents),
+        ed as materialized (
+          select distinct a.source as src, b.source as dst
+          from idx a join idx b
+            on b.doc_id = (a.doc_id * a.doc_id + 7)
+                           % (select count(*) from idx)
+          where a.source <> b.source and a.doc_id % 3 = 0),
+        nodes as materialized (
+          select src as node from ed union select dst as node from ed),
+        h0 as (select node, 1.0 as hub from nodes)
+        """
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f"""
+        , ar{i} as materialized (
+          select ed.dst as node, sum(h.hub) as a_raw
+          from h{i - 1} h join ed on ed.src = h.node
+          group by ed.dst)
+        , sa{i} as materialized (select sum(a_raw) as s from ar{i})
+        , a{i} as materialized (
+          select nd.node,
+                 coalesce(ar.a_raw, 0) / (select s from sa{i}) as authority
+          from nodes nd left join ar{i} ar on ar.node = nd.node)
+        , hr{i} as materialized (
+          select ed.src as node, sum(a.authority) as h_raw
+          from a{i} a join ed on ed.dst = a.node
+          group by ed.src)
+        , sh{i} as materialized (select sum(h_raw) as s from hr{i})
+        , h{i} as materialized (
+          select nd.node,
+                 coalesce(hr.h_raw, 0) / (select s from sh{i}) as hub
+          from nodes nd left join hr{i} hr on hr.node = nd.node)
+        """
+        )
+    parts.append(
+        f"""
+        select h.node as host, round(h.hub, 6) as hub,
+               round(a.authority, 6) as authority
+        from h{n_iter} h join a{n_iter} a on a.node = h.node
+        """
     )
     return "".join(parts)
 
@@ -2866,6 +2986,60 @@ def oracle_sql() -> dict[str, str]:
             from documents d left join comp c on c.node = d.doc_id
         """,
         "host_pagerank": _pagerank_oracle_sql(n_iter=5),
+        "hits_scores": _hits_oracle_sql(n_iter=5),
+        "heavy_hitters": """
+            with w as (select unnest(string_split(text, ' ')) as term
+                       from documents),
+            n as (select count(*) as n from w)
+            select term, count(*) as cnt
+            from w group by term
+            having count(*) * 40 > (select n from n)
+        """,
+        "ccnet_buckets": f"""
+            with tr as (select doc_id, lang, string_split(text, ' ') as w
+                        from documents),
+            tw as (select unnest(w) as term from tr),
+            uni as (select term, count(*) as c from tw group by term),
+            tot as (select cast(sum(c) + count(*) as double) as nv
+                    from uni),
+            pos as (select doc_id,
+                      unnest(case when len(w) >= 2
+                        then list_transform(generate_series(1, len(w) - 1),
+                          i -> {{'w1': w[i], 'w2': w[i + 1]}})
+                        else [] end) as b
+                    from tr),
+            bi as (select (b).w1 as w1, (b).w2 as w2, count(*) as c12
+                   from pos group by 1, 2),
+            j as (select p.doc_id,
+                    0.7 * (case when u1.c is not null and bi.c12 is not null
+                           then bi.c12 / u1.c else 0.0 end)
+                    + {1.0 - 0.7!r}
+                      * ((coalesce(u2.c, 0) + 1.0) / (select nv from tot))
+                      as prob
+                  from pos p
+                  left join bi on bi.w1 = (p.b).w1 and bi.w2 = (p.b).w2
+                  left join uni u1 on u1.term = (p.b).w1
+                  left join uni u2 on u2.term = (p.b).w2),
+            sc as (select doc_id,
+                     cast(round(avg(log10(prob)) * 1000000.0) as bigint)
+                       as score_q
+                   from j group by doc_id),
+            keyed as (select s.doc_id, d.lang, s.score_q
+                      from sc s join documents d using (doc_id)),
+            cnt as (select lang, score_q, count(*) as c
+                    from keyed group by 1, 2),
+            cum as (select lang, score_q, c,
+                      sum(c) over (partition by lang order by score_q) as c_le,
+                      sum(c) over (partition by lang) as n
+                    from cnt),
+            bk as (select lang, score_q,
+                     case when 3 * c_le <= n then 'tail'
+                          when 3 * (c_le - c) >= 2 * n then 'head'
+                          else 'middle' end as bucket
+                   from cum)
+            select k.doc_id, k.lang, k.score_q, b.bucket
+            from keyed k join bk b using (lang, score_q)
+        """,
         "opic_importance": _opic_oracle_sql(n_iter=5),
         "vocab_build": """
             with tw as (select unnest(string_split(text, ' ')) as term

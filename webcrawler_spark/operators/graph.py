@@ -491,3 +491,109 @@ def opic(
     deg.unpersist()
     nodes.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# HITS — Hyperlink-Induced Topic Search (Kleinberg, JACM 1999, public).
+# The hub/authority dual of PageRank: a page is a good AUTHORITY when
+# good hubs link to it, a good HUB when it links to good authorities.
+# For a crawl corpus this is the classic directory-vs-content signal
+# (link farms score as hubs, canonical pages as authorities) and a
+# second frontier-prioritization axis beside pagerank/opic.
+# ---------------------------------------------------------------------------
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 5,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """(node, hub, authority) after ``n_iter`` mutual-reinforcement
+    iterations, each score L1-normalized (sums to 1; Kleinberg's
+    fixpoint is norm-invariant, and the L1 choice keeps the update a
+    plain sum so a SQL oracle can replay it bit-for-bit):
+
+        auth'(v) = Σ_{u→v} hub(u)   / Σ auth'      (one dst aggregate)
+        hub'(u)  = Σ_{u→v} auth'(v) / Σ hub'       (one src aggregate)
+
+    Plan shape at 100 TB: two shuffles per iteration (the dst and src
+    aggregates) plus two 1-row normalization aggregates crossJoined
+    back — no driver action per iteration. The edge set is persisted
+    once; at cluster scale write it bucketed by src (and a dst-keyed
+    copy) so both joins are co-located. Plans are localCheckpoint-
+    truncated every ``checkpoint_every`` iterations (the pagerank
+    lesson: unbounded iterative plan depth makes driver planning the
+    bottleneck).
+
+    Nodes with no in-edges have authority 0; no out-edges ⇒ hub 0
+    (pure sinks/sources stay in the output — a crawl wants the zero
+    explicitly, not a missing row).
+
+    No reference analog (the reference crawler ranks hosts by arrival
+    priority only, Worker.py heap semantics); this extends the rebuilt
+    graph tier (pagerank/opic/anchor_text_topk).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct().persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    if n == 0:
+        e.unpersist()
+        nodes.unpersist()
+        return nodes.select(
+            "node", F.lit(0.0).alias("hub"), F.lit(0.0).alias("authority")
+        )
+
+    hubs = nodes.select("node", F.lit(1.0).alias("hub"))
+    auth: DataFrame | None = None
+    held: DataFrame | None = None
+    for it in range(n_iter):
+        a_raw = (
+            e.join(hubs, e["src"] == hubs["node"])
+            .select(F.col("dst").alias("node"), F.col("hub").alias("h"))
+            .groupBy("node")
+            .agg(F.sum("h").alias("a_raw"))
+        )
+        sa = a_raw.agg(F.sum("a_raw").alias("s"))
+        auth = (
+            nodes.join(a_raw, "node", "left")
+            .crossJoin(sa)
+            .select(
+                "node",
+                (F.coalesce(F.col("a_raw"), F.lit(0.0)) / F.col("s")).alias(
+                    "authority"
+                ),
+            )
+        )
+        h_raw = (
+            e.join(auth, e["dst"] == auth["node"])
+            .select(F.col("src").alias("node"), F.col("authority").alias("a"))
+            .groupBy("node")
+            .agg(F.sum("a").alias("h_raw"))
+        )
+        sh = h_raw.agg(F.sum("h_raw").alias("s"))
+        hubs = (
+            nodes.join(h_raw, "node", "left")
+            .crossJoin(sh)
+            .select(
+                "node",
+                (F.coalesce(F.col("h_raw"), F.lit(0.0)) / F.col("s")).alias("hub"),
+            )
+        )
+        if (it + 1) % checkpoint_every == 0 and (it + 1) < n_iter:
+            new_held = sparkutil.checkpoint(hubs.join(auth, "node"))
+            sparkutil.free(held)
+            held = new_held
+            hubs = new_held.select("node", "hub")
+            auth = new_held.select("node", "authority")
+    out = hubs.join(auth, "node").localCheckpoint(eager=True)
+    sparkutil.free(held)
+    e.unpersist()
+    nodes.unpersist()
+    return out

@@ -125,3 +125,89 @@ def bigram_logprob_self(
     model, like unigram_logprob): fit on ``df``, score ``df``."""
     bi, uni, n, v = fit_bigram_lm(df, col)
     return bigram_logprob(df, bi, uni, n, v, col, id_col, lam)
+
+
+# ---------------------------------------------------------------------------
+# CCNet head/middle/tail bucketing (Wenzek et al. 2020 §4.3, public):
+# the pipeline's actual output artifact — each document assigned to
+# the best/middle/worst third of its language by LM score, so
+# downstream training mixes can sample "head only" or re-weight tails.
+# ---------------------------------------------------------------------------
+
+
+def rank_buckets(
+    scored: DataFrame,
+    score_col: str = "score_q",
+    key_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign each row a ``bucket`` ∈ {head, middle, tail} by the
+    per-``key_col`` thirds of an INTEGER ``score_col`` (higher =
+    better). The integer rank rule (all comparisons in integer
+    arithmetic, the HDR-quantile lesson — float ``q*n`` products sit
+    one ulp off an integer exactly at common ranks):
+
+        tail    3·c_le(s) ≤ n          (the worst third)
+        head    3·c_lt(s) ≥ 2n         (the best third)
+        middle  otherwise
+
+    with c_le/c_lt = rows in the key scoring ≤ / < s, n = rows in the
+    key. Ties share a bucket by construction (same s ⇒ same c_le/c_lt)
+    and a tie-group straddling a boundary resolves tail-first — the
+    rule is a pure function of the (key, score) multiset, so it is
+    partitioning- and engine-reproducible.
+
+    Plan shape at 100 TB: one map-side-combined count on (key, score)
+    — the window below runs over DISTINCT quantized scores per key
+    (bounded by score granularity, not by documents), never over the
+    document table; assignment joins the ≤|distinct scores| bucket
+    table back on (key, score). No un-partitioned window anywhere. At
+    extreme granularity swap the exact cutoffs for hdr_quantiles —
+    the rule is sketch-compatible because it only needs c_le/c_lt.
+    """
+    from pyspark.sql.window import Window
+
+    counts = scored.groupBy(key_col, score_col).agg(F.count("*").alias("c"))
+    w = Window.partitionBy(key_col).orderBy(score_col)
+    wk = Window.partitionBy(key_col)
+    marked = (
+        counts.withColumn("c_le", F.sum("c").over(w))
+        .withColumn("c_lt", F.col("c_le") - F.col("c"))
+        .withColumn("n", F.sum("c").over(wk))
+        .select(
+            key_col,
+            score_col,
+            F.when(3 * F.col("c_le") <= F.col("n"), F.lit("tail"))
+            .when(3 * F.col("c_lt") >= 2 * F.col("n"), F.lit("head"))
+            .otherwise(F.lit("middle"))
+            .alias("bucket"),
+        )
+    )
+    return scored.join(marked, [key_col, score_col])
+
+
+def ccnet_buckets(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    lam: float = 0.7,
+) -> DataFrame:
+    """(id, lang, score_q, bucket): the CCNet tiering composed from
+    this module's pieces — self-trained interpolated-bigram score per
+    document (bigram_logprob_self), quantized to integer micro-log10
+    units (``round(avg_logp·10^6)`` — the same 6-dp granularity every
+    float oracle in the repo compares at), then head/middle/tail by
+    per-language thirds via rank_buckets. Docs with < 2 tokens have no
+    LM score and are absent, as in bigram_logprob.
+
+    CCNet buckets by PERPLEXITY ascending (lower ppl = head); mean
+    log-probability is monotone-opposite, so higher score_q = head
+    here — same tiering, sign-flipped scale."""
+    scored = bigram_logprob_self(df, col=col, id_col=id_col, lam=lam)
+    keyed = scored.join(df.select(id_col, lang_col), id_col).select(
+        id_col,
+        lang_col,
+        F.round(F.col("avg_logp") * F.lit(1000000.0)).cast("long").alias("score_q"),
+    )
+    return rank_buckets(keyed, "score_q", lang_col, id_col)

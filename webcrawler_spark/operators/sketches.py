@@ -386,3 +386,80 @@ def hdr_quantiles(
     return row.select(*keys, "n", qe).select(
         *keys, F.col("qe.q").alias("q"), F.col("qe.est").alias("est"), "n"
     )
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters — exact two-pass frequent items via mergeable
+# Misra-Gries candidate summaries (Misra & Gries 1982 "Finding
+# repeated elements"; mergeability per Agarwal, Cormode, Huang,
+# Phillips, Wei, Yi — "Mergeable Summaries", PODS 2012; all public).
+#
+# The exact answer to "which items occur more than n/(k+1) times"
+# normally costs a full groupBy over every item — at 100 TB of tokens
+# that shuffle carries the whole corpus vocabulary. The two-pass form
+# shuffles almost nothing:
+#
+#   pass 1  per-partition Misra-Gries summary with k counters
+#           (vectorized pandas, O(k) state, no shuffle; each summary
+#           undercounts by at most n_p/(k+1) of its partition's n_p
+#           rows). Pigeonhole: an item with GLOBAL count > n/(k+1)
+#           must exceed n_p/(k+1) in at least one partition, so the
+#           union of partition summaries — at most k rows per
+#           partition — contains every true heavy hitter.
+#   pass 2  exact recount of the candidate union only: a broadcast
+#           semi-join (candidates ≤ k·P rows, kilobytes) followed by
+#           a map-side-combined count whose state is bounded by the
+#           candidate set, not the vocabulary; then the exact filter
+#           cnt·(k+1) > n.
+#
+# The output is therefore EXACT and partitioning-invariant (the
+# candidate set may vary with partitioning; the recount + threshold
+# make the survivors a pure function of the data), which is what lets
+# a plain GROUP BY/HAVING oracle value-check it.
+# ---------------------------------------------------------------------------
+
+
+def mg_candidates(df: DataFrame, col: str, k: int) -> DataFrame:
+    """Per-partition Misra-Gries candidate items as a 1-column
+    ``(item)`` DataFrame (≤ k rows per input partition, duplicates
+    across partitions possible). Vectorized: each Arrow batch folds in
+    via ``value_counts``; pruning back to k counters subtracts the
+    (k+1)-th largest counter from all (the batched MG decrement — the
+    merge step of Agarwal et al. 2012, which preserves the
+    undercount ≤ n_p/(k+1) bound)."""
+    import pandas as pd
+
+    def part(batches):
+        counters = pd.Series(dtype="int64")
+        for pdf in batches:
+            vc = pdf[col].value_counts()
+            counters = counters.add(vc, fill_value=0)
+            if len(counters) > k:
+                d = counters.nlargest(k + 1).iloc[-1]
+                counters = counters[counters > d] - d
+        if len(counters):
+            yield pd.DataFrame({"item": counters.index})
+
+    schema = df.select(F.col(col).alias("item")).schema
+    return df.select(col).mapInPandas(part, schema)
+
+
+def heavy_hitters(df: DataFrame, col: str, k: int) -> DataFrame:
+    """Exact ``(item, cnt)`` for every item occurring MORE than
+    n/(k+1) times in ``df[col]`` (n = total rows), without a
+    vocabulary-sized shuffle: MG candidates → broadcast semi-join →
+    bounded recount → exact threshold. See module comment for the
+    guarantee chain; partitioning-invariance is property-tested."""
+    n = df.count()
+    if n == 0:
+        return df.select(
+            F.col(col).alias("item"), F.lit(0).cast("long").alias("cnt")
+        ).limit(0)
+    cand = mg_candidates(df, col, k).distinct()
+    counts = (
+        df.select(F.col(col).alias("item"))
+        .join(F.broadcast(cand), "item")
+        .groupBy("item")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return counts.filter(F.col("cnt") * (k + 1) > n)
