@@ -562,6 +562,73 @@ def _q_ccnet_buckets(spark, sf):
     )
 
 
+def _surt_test_urls(spark, sf):
+    """Deterministic adversarial URL variants (scheme case, www,
+    ports, unsorted query params, fragments) for the SURT queries."""
+    return _docs(spark, sf).select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 2 == 0, "https://").otherwise("http://"),
+            F.when(F.col("doc_id") % 3 == 0, "www.").otherwise(""),
+            F.col("source"),
+            F.lit(".Example.com"),
+            F.when(F.col("doc_id") % 5 == 0, ":8080").otherwise(""),
+            F.lit("/Doc/"),
+            F.col("doc_id").cast("string"),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(F.lit("?b=2&a="), F.col("doc_id").cast("string")),
+            ).otherwise(""),
+            F.when(F.col("doc_id") % 7 == 0, "#frag").otherwise(""),
+        ).alias("url"),
+    )
+
+
+def _q_surt_keys(spark, sf):
+    """SURT canonical keys (the CDX index key format) over adversarial
+    URL variants — scheme/host case, www-stripping, ports, query-param
+    sorting, fragment dropping — as one pure codegen projection."""
+    from webcrawler_spark.functions.surt import surt_col
+
+    u = _surt_test_urls(spark, sf)
+    return u.select("doc_id", "url", surt_col(F.col("url")).alias("surt"))
+
+
+def _q_cdx_roundtrip(spark, sf):
+    """CDXJ interchange value-checked end-to-end (the warc_roundtrip
+    pattern for the third Common Crawl artifact): every document
+    becomes a CDX capture line (SURT key, 14-digit timestamp, md5
+    digest, byte length), the range-partitioned sorted gzip sink
+    writes them, the distributed source reads them back, and the
+    oracle recomputes every field straight from the documents table."""
+    import tempfile
+
+    from webcrawler_spark.sources.cdx import cdx_lines, read_cdx, write_cdx
+
+    out = tempfile.mkdtemp(prefix="wcspark-cdxrt-")
+    d = _docs(spark, sf)
+    captures = d.select(
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example/doc/"),
+            F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 7 == 0, ".pdf").otherwise(""),
+        ).alias("url"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("text/html").alias("mime"),
+        F.lit(200).alias("status"),
+        (
+            F.to_timestamp(F.lit("2020-01-01 00:00:00"))
+            + F.make_interval(secs=F.col("doc_id") % 86400)
+        ).alias("warc_ts"),
+    )
+    write_cdx(cdx_lines(captures), out, lines_per_file=100).collect()
+    return read_cdx(spark, out + "/*.cdx.gz").select(
+        "surt", "ts", "url", "digest", "mime", "status", "length"
+    )
+
+
 def _q_vocab_build(spark, sf):
     """Frequency vocabulary (top-500 terms, ids by count desc / term
     asc): explode → hash agg → TakeOrderedAndProject; the rank window
@@ -2260,6 +2327,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_scores": _q_hits_scores,
         "heavy_hitters": _q_heavy_hitters,
         "ccnet_buckets": _q_ccnet_buckets,
+        "surt_keys": _q_surt_keys,
+        "cdx_roundtrip": _q_cdx_roundtrip,
     }
     return {name: _tuned(fn) for name, fn in q.items()}
 
@@ -2987,6 +3056,69 @@ def oracle_sql() -> dict[str, str]:
         """,
         "host_pagerank": _pagerank_oracle_sql(n_iter=5),
         "hits_scores": _hits_oracle_sql(n_iter=5),
+        "surt_keys": r"""
+            with u as (select doc_id,
+              (case when doc_id % 2 = 0 then 'https://'
+                    else 'http://' end)
+              || (case when doc_id % 3 = 0 then 'www.' else '' end)
+              || source || '.Example.com'
+              || (case when doc_id % 5 = 0 then ':8080' else '' end)
+              || '/Doc/' || doc_id::VARCHAR
+              || (case when doc_id % 4 = 0
+                  then '?b=2&a=' || doc_id::VARCHAR else '' end)
+              || (case when doc_id % 7 = 0 then '#frag' else '' end)
+                as url
+              from documents),
+            s1 as (select doc_id, url,
+              regexp_replace(regexp_replace(lower(url),
+                '^https?://', ''), '#.*$', '') as u from u),
+            s2 as (select *,
+              regexp_extract(u, '^([^/?]*)', 1) as hostport,
+              substr(u, length(regexp_extract(u, '^([^/?]*)', 1)) + 1)
+                as rest
+              from s1),
+            s3 as (select *,
+              case when regexp_extract(rest, '^([^?]*)', 1) = ''
+                   then '/' else regexp_extract(rest, '^([^?]*)', 1)
+                   end as path,
+              regexp_replace(rest, '^[^?]*\??', '') as query,
+              regexp_extract(hostport, '(:\d+)$', 1) as port,
+              regexp_replace(regexp_replace(hostport, ':\d+$', ''),
+                '^www\.', '') as host
+              from s2)
+            select doc_id, url,
+              array_to_string(list_reverse(string_split(host, '.')), ',')
+              || port || ')' || path
+              || case when query = '' then ''
+                 else '?' || array_to_string(
+                        list_sort(string_split(query, '&')), '&') end
+                as surt
+            from s3
+        """,
+        "cdx_roundtrip": f"""
+            with cap as (select doc_id, text,
+              {_URL_SQL} as url from documents),
+            s1 as (select *,
+              regexp_replace(lower(url), '^https?://', '') as u
+              from cap),
+            s2 as (select *,
+              regexp_extract(u, '^([^/?]*)', 1) as host,
+              substr(u, length(regexp_extract(u, '^([^/?]*)', 1)) + 1)
+                as path
+              from s1)
+            select
+              array_to_string(list_reverse(string_split(host, '.')), ',')
+                || ')' || path as surt,
+              strftime(timestamp '2020-01-01 00:00:00'
+                       + (doc_id % 86400) * interval 1 second,
+                       '%Y%m%d%H%M%S') as ts,
+              url,
+              'md5:' || md5(text) as digest,
+              'text/html' as mime,
+              200 as status,
+              octet_length(encode(text)) as length
+            from s2
+        """,
         "heavy_hitters": """
             with w as (select unnest(string_split(text, ' ')) as term
                        from documents),

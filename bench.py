@@ -83,6 +83,11 @@ BENCH_QUERIES = [
     "politeness_schedule",
     "sessionize",
     "tumbling_events",
+    "hits_scores",
+    "heavy_hitters",
+    "ccnet_buckets",
+    "surt_keys",
+    "cdx_roundtrip",
 ]
 
 
