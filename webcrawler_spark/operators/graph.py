@@ -508,7 +508,6 @@ def hits(
     src: str = "src",
     dst: str = "dst",
     n_iter: int = 5,
-    checkpoint_every: int = 2,
 ) -> DataFrame:
     """(node, hub, authority) after ``n_iter`` mutual-reinforcement
     iterations, each score L1-normalized (sums to 1; Kleinberg's
@@ -523,9 +522,10 @@ def hits(
     back — no driver action per iteration. The edge set is persisted
     once; at cluster scale write it bucketed by src (and a dst-keyed
     copy) so both joins are co-located. Plans are localCheckpoint-
-    truncated every ``checkpoint_every`` iterations (the pagerank
-    lesson: unbounded iterative plan depth makes driver planning the
-    bottleneck).
+    truncated every iteration (the pagerank lesson, doubled: HITS
+    references each intermediate twice per iteration, so lineage
+    compounds ~4×/iter and driver planning dominates without
+    per-iteration truncation).
 
     Nodes with no in-edges have authority 0; no out-edges ⇒ hub 0
     (pure sinks/sources stay in the output — a crawl wants the zero
@@ -550,12 +550,19 @@ def hits(
             "node", F.lit(0.0).alias("hub"), F.lit(0.0).alias("authority")
         )
 
-    hubs = nodes.select("node", F.lit(1.0).alias("hub"))
-    auth: DataFrame | None = None
-    held: DataFrame | None = None
-    for it in range(n_iter):
+    # one combined (node, hub, authority) state frame, eagerly
+    # checkpointed EVERY iteration: within an iteration a_raw feeds
+    # both its normalizer and the authority join, and auth feeds both
+    # h_raw and the output — left as lineage those double references
+    # compound ~4× per iteration and driver planning dominates wall
+    # time (measured 41.8 s → 5-ish s at sf0.1 for a 20-node graph);
+    # per-iteration truncation caps the plan at one iteration deep
+    state = sparkutil.checkpoint(
+        nodes.select("node", F.lit(1.0).alias("hub"), F.lit(0.0).alias("authority"))
+    )
+    for _ in range(n_iter):
         a_raw = (
-            e.join(hubs, e["src"] == hubs["node"])
+            e.join(state.select("node", "hub"), e["src"] == F.col("node"))
             .select(F.col("dst").alias("node"), F.col("hub").alias("h"))
             .groupBy("node")
             .agg(F.sum("h").alias("a_raw"))
@@ -586,14 +593,10 @@ def hits(
                 (F.coalesce(F.col("h_raw"), F.lit(0.0)) / F.col("s")).alias("hub"),
             )
         )
-        if (it + 1) % checkpoint_every == 0 and (it + 1) < n_iter:
-            new_held = sparkutil.checkpoint(hubs.join(auth, "node"))
-            sparkutil.free(held)
-            held = new_held
-            hubs = new_held.select("node", "hub")
-            auth = new_held.select("node", "authority")
-    out = hubs.join(auth, "node").localCheckpoint(eager=True)
-    sparkutil.free(held)
+        new_state = sparkutil.checkpoint(hubs.join(auth, "node"))
+        sparkutil.free(state)
+        state = new_state
+    out = state.select("node", "hub", "authority")
     e.unpersist()
     nodes.unpersist()
     return out
