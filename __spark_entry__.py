@@ -584,6 +584,24 @@ def _surt_test_urls(spark, sf):
     )
 
 
+def _q_containment_pairs(spark, sf):
+    """Broder directional containment over documents PLUS synthesized
+    quote docs (every 10th doc's first 15 words as doc_id+100000) —
+    the duplicate class symmetric Jaccard misses: each quote has tiny
+    resemblance to its source page but containment ≈ 1 from the
+    quote's side. Exact (oracle) tier of dedup.containment_pairs."""
+    from webcrawler_spark.operators.dedup import containment_pairs
+
+    d = _docs(spark, sf).select("doc_id", "text")
+    quotes = d.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 15), " ").alias(
+            "text"
+        ),
+    )
+    return containment_pairs(d.unionByName(quotes), threshold=0.6)
+
+
 def _q_surt_keys(spark, sf):
     """SURT canonical keys (the CDX index key format) over adversarial
     URL variants — scheme/host case, www-stripping, ports, query-param
@@ -2329,6 +2347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_buckets": _q_ccnet_buckets,
         "surt_keys": _q_surt_keys,
         "cdx_roundtrip": _q_cdx_roundtrip,
+        "containment_pairs": _q_containment_pairs,
     }
     return {name: _tuned(fn) for name, fn in q.items()}
 
@@ -3056,6 +3075,36 @@ def oracle_sql() -> dict[str, str]:
         """,
         "host_pagerank": _pagerank_oracle_sql(n_iter=5),
         "hits_scores": _hits_oracle_sql(n_iter=5),
+        "containment_pairs": """
+            with base as (
+              select doc_id, text from documents
+              union all
+              select doc_id + 100000 as doc_id,
+                     array_to_string(list_slice(
+                       string_split(text, ' '), 1, 15), ' ') as text
+              from documents where doc_id % 10 = 0),
+            sh as (
+              select doc_id, unnest(list_distinct(
+                case when length(string_split(text, ' ')) < 3
+                     then []::VARCHAR[]
+                     else list_transform(
+                       generate_series(1,
+                         length(string_split(text, ' ')) - 2),
+                       i -> array_to_string(list_slice(
+                              string_split(text, ' '), i, i + 2), ' '))
+                end)) as shingle
+              from base),
+            sizes as (select doc_id, count(*) as sz from sh
+                      group by doc_id),
+            inter as (
+              select l.doc_id as a, r.doc_id as b, count(*) as inter
+              from sh l join sh r using (shingle)
+              where l.doc_id <> r.doc_id
+              group by l.doc_id, r.doc_id)
+            select a, b, round(inter / sa.sz, 6) as containment
+            from inter join sizes sa on sa.doc_id = a
+            where round(inter / sa.sz, 6) >= 0.6
+        """,
         "surt_keys": r"""
             with u as (select doc_id,
               (case when doc_id % 2 = 0 then 'https://'

@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "ccnet_buckets",
     "surt_keys",
     "cdx_roundtrip",
+    "containment_pairs",
 ]
 
 

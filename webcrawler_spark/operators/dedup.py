@@ -186,6 +186,61 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Directional shingle containment c(a→b) = |S(a) ∩ S(b)| / |S(a)|
+    (Broder 1997, "On the resemblance and containment of documents" —
+    the asymmetric companion to Jaccard resemblance): (a, b,
+    containment) rows with c ≥ threshold, both directions.
+
+    Containment catches the duplicate class symmetric dedup misses: a
+    30-word quote embedded in a 3,000-word page has Jaccard ≈ 1% (far
+    under any resemblance cut) but containment ≈ 100% from the quote's
+    side — the aggregator/quotation/boilerplate-wrapper pattern a web
+    corpus is full of.
+
+    Tiers, same contract as jaccard_pairs: with ``candidates=None``
+    the exact shingle self-join runs — the small-corpus/ORACLE tier.
+    At scale pass ``candidates`` (a, b) — e.g. LSH buckets keyed on
+    the SMALLER side's bands, or inverted-index postings — and the
+    intersection count is candidate-bounded: shingles join only
+    against candidate pairs, the corpus never self-joins. Both tiers
+    are row-identical on pairs the candidate set contains
+    (tested)."""
+    sh = explode_shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    if candidates is None:
+        inter = (
+            sh.select(F.col(id_col).alias("a"), "shingle")
+            .join(sh.select(F.col(id_col).alias("b"), "shingle"), "shingle")
+            .filter(F.col("a") != F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("inter"))
+        )
+    else:
+        inter = (
+            candidates.select("a", "b")
+            .join(sh.select(F.col(id_col).alias("a"), "shingle"), "a")
+            .join(sh.select(F.col(id_col).alias("b"), "shingle"), ["b", "shingle"])
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("inter"))
+        )
+    return (
+        inter.join(
+            sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sza")), "a"
+        )
+        .withColumn("containment", F.round(F.col("inter") / F.col("sza"), 6))
+        .filter(F.col("containment") >= threshold)
+        .select("a", "b", "containment")
+    )
+
+
 def near_duplicate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
