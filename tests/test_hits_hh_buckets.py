@@ -236,3 +236,13 @@ def test_rank_buckets_plan_no_unpartitioned_window(spark):
     for ln in win_lines:
         assert "lang#" in ln.split("], [", 1)[-1] or "lang#" in ln
     assert "CartesianProduct" not in plan
+
+
+def test_heavy_hitters_null_items_excluded(spark):
+    # 60 nulls + 40 'hot' in 100 rows: n counts only non-null rows
+    # (40), and NULL itself is never reported
+    df = spark.range(100).select(
+        F.when(F.col("id") < 40, F.lit("hot")).otherwise(F.lit(None)).alias("w")
+    )
+    got = {r["item"]: r["cnt"] for r in heavy_hitters(df, "w", k=3).collect()}
+    assert got == {"hot": 40}

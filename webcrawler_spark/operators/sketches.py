@@ -450,6 +450,12 @@ def heavy_hitters(df: DataFrame, col: str, k: int) -> DataFrame:
     vocabulary-sized shuffle: MG candidates → broadcast semi-join →
     bounded recount → exact threshold. See module comment for the
     guarantee chain; partitioning-invariance is property-tested."""
+    # NULL rows are excluded up front on BOTH passes (pandas
+    # value_counts drops them silently, which would make a frequent
+    # NULL a guaranteed miss while still counting toward n) — the
+    # operator answers "which VALUES are frequent"; n is the non-null
+    # row count, matching a WHERE col IS NOT NULL oracle
+    df = df.where(F.col(col).isNotNull())
     n = df.count()
     if n == 0:
         return df.select(
