@@ -584,6 +584,52 @@ def _surt_test_urls(spark, sf):
     )
 
 
+def _q_kmv_registers(spark, sf):
+    """KMV bottom-k distinct sketch (Beyer et al. 2007): the 16
+    smallest distinct md5 word-hashes per source — actual hash VALUES
+    as registers, which is what makes cross-sketch intersection
+    estimable (kmv_intersection) where HLL registers cannot. Partial
+    bottom-k per partition, ≤ k·P rows into the final merge."""
+    from webcrawler_spark.operators.sketches import kmv_registers
+    from webcrawler_spark.operators.textstats import words_col
+
+    words = _docs(spark, sf).select(
+        "source", F.explode(words_col(F.col("text"))).alias("term")
+    )
+    return kmv_registers(words, "term", key="source", k=16)
+
+
+def _q_kmv_estimate(spark, sf):
+    """Distinct-word estimate per source from the 16-register KMV
+    sketch: exact below k, the (k-1)/U_(k) unbiased estimator at k."""
+    from webcrawler_spark.operators.sketches import kmv_estimate, kmv_registers
+    from webcrawler_spark.operators.textstats import words_col
+
+    words = _docs(spark, sf).select(
+        "source", F.explode(words_col(F.col("text"))).alias("term")
+    )
+    return kmv_estimate(
+        kmv_registers(words, "term", key="source", k=16), key="source", k=16
+    ).select("source", "n_reg", F.round("est", 6).alias("est"))
+
+
+def _q_kmv_intersection(spark, sf):
+    """Cross-sketch set-overlap estimate — the query HLL can't answer:
+    word vocabularies of even-id vs odd-id documents, estimated purely
+    from the two 16-register sketches (Beyer et al. §5: match fraction
+    within the union's bottom-k, scaled by the union estimate)."""
+    from webcrawler_spark.operators.sketches import kmv_intersection, kmv_registers
+    from webcrawler_spark.operators.textstats import words_col
+
+    d = _docs(spark, sf)
+    words = d.select(
+        "doc_id", F.explode(words_col(F.col("text"))).alias("term")
+    )
+    ra = kmv_registers(words.where(F.col("doc_id") % 2 == 0), "term", k=16)
+    rb = kmv_registers(words.where(F.col("doc_id") % 2 == 1), "term", k=16)
+    return kmv_intersection(ra, rb, k=16)
+
+
 def _q_containment_pairs(spark, sf):
     """Broder directional containment over documents PLUS synthesized
     quote docs (every 10th doc's first 15 words as doc_id+100000) —
@@ -2348,6 +2394,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "surt_keys": _q_surt_keys,
         "cdx_roundtrip": _q_cdx_roundtrip,
         "containment_pairs": _q_containment_pairs,
+        "kmv_registers": _q_kmv_registers,
+        "kmv_estimate": _q_kmv_estimate,
+        "kmv_intersection": _q_kmv_intersection,
     }
     return {name: _tuned(fn) for name, fn in q.items()}
 
@@ -3075,6 +3124,78 @@ def oracle_sql() -> dict[str, str]:
         """,
         "host_pagerank": _pagerank_oracle_sql(n_iter=5),
         "hits_scores": _hits_oracle_sql(n_iter=5),
+        "kmv_registers": """
+            with w as (select source,
+                         unnest(string_split(text, ' ')) as term
+                       from documents),
+            h as (select distinct source,
+                    cast(('0x' || substr(md5('#kmv' || '|' || term),
+                      1, 8))::UBIGINT as bigint) as h
+                  from w),
+            r as (select source, h,
+                    row_number() over (partition by source
+                                       order by h) as rn
+                  from h)
+            select source, h from r where rn <= 16
+        """,
+        "kmv_estimate": """
+            with w as (select source,
+                         unnest(string_split(text, ' ')) as term
+                       from documents),
+            h as (select distinct source,
+                    cast(('0x' || substr(md5('#kmv' || '|' || term),
+                      1, 8))::UBIGINT as bigint) as h
+                  from w),
+            r as (select source, h,
+                    row_number() over (partition by source
+                                       order by h) as rn
+                  from h),
+            reg as (select source, h from r where rn <= 16)
+            select source, count(*) as n_reg,
+                   round(case when count(*) < 16
+                         then cast(count(*) as double)
+                         else 15.0 / ((max(h) + 1.0) / 4294967296.0)
+                         end, 6) as est
+            from reg group by source
+        """,
+        "kmv_intersection": """
+            with w as (select doc_id,
+                         unnest(string_split(text, ' ')) as term
+                       from documents),
+            ha as (select distinct
+                     cast(('0x' || substr(md5('#kmv' || '|' || term),
+                       1, 8))::UBIGINT as bigint) as h
+                   from w where doc_id % 2 = 0),
+            hb as (select distinct
+                     cast(('0x' || substr(md5('#kmv' || '|' || term),
+                       1, 8))::UBIGINT as bigint) as h
+                   from w where doc_id % 2 = 1),
+            ra as (select h from (select h, row_number() over
+                     (order by h) rn from ha) where rn <= 16),
+            rb as (select h from (select h, row_number() over
+                     (order by h) rn from hb) where rn <= 16),
+            un as (select h from (select h, row_number() over
+                     (order by h) rn
+                   from (select h from ra union select h from rb))
+                   where rn <= 16),
+            st as (select
+                     (select count(*) from un) as n_union_reg,
+                     (select count(*) from un
+                      where h in (select h from ra)
+                        and h in (select h from rb)) as matches,
+                     (select max(h) from un) as hk)
+            select n_union_reg, matches,
+                   round(case when n_union_reg < 16
+                         then cast(n_union_reg as double)
+                         else 15.0 / ((hk + 1.0) / 4294967296.0)
+                         end, 6) as est_union,
+                   round((cast(matches as double) / n_union_reg)
+                         * case when n_union_reg < 16
+                           then cast(n_union_reg as double)
+                           else 15.0 / ((hk + 1.0) / 4294967296.0)
+                           end, 6) as est_intersection
+            from st
+        """,
         "containment_pairs": """
             with base as (
               select doc_id, text from documents

@@ -89,6 +89,8 @@ BENCH_QUERIES = [
     "surt_keys",
     "cdx_roundtrip",
     "containment_pairs",
+    "kmv_estimate",
+    "kmv_intersection",
 ]
 
 

@@ -469,3 +469,161 @@ def heavy_hitters(df: DataFrame, col: str, k: int) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
     )
     return counts.filter(F.col("cnt") * (k + 1) > n)
+
+
+# ---------------------------------------------------------------------------
+# KMV / bottom-k distinct sketch (Beyer, Haas, Reinwald, Sismanis,
+# Gemulla — "On synopses for distinct-value estimation under multiset
+# operations", SIGMOD 2007; public). The third cardinality tool beside
+# exact distinct and HLL: like HLL it is a tiny mergeable summary, but
+# its registers are actual hash VALUES, so two sketches support set
+# INTERSECTION estimates (Jaccard of key sets, cross-source overlap)
+# that HLL registers cannot express. md5 tier = DuckDB-replayable
+# oracle; xxhash64 tier = production (same flag convention as
+# hll_registers/cms_registers).
+#
+# Scale shape (the mg_candidates pattern): a per-partition pandas
+# partial keeps only the k smallest distinct hashes per key (O(k·keys)
+# state, no shuffle), so the final per-key merge receives ≤ k·P rows —
+# never the key's full distinct stream. Merging shards = union the
+# register rows and re-take bottom-k: one more groupBy, same as HLL.
+# ---------------------------------------------------------------------------
+
+KMV_K = 64
+
+
+def _kmv_partials(df: DataFrame, col: str, keys: list[str], k: int, h) -> DataFrame:
+    """≤ k smallest distinct hashes per key per PARTITION as (keys…, h)
+    rows — the map-side combine the final bottom-k merge relies on."""
+    import numpy as np
+    import pandas as pd
+
+    hashed = df.select(*keys, h.alias("h"))
+
+    def part(batches):
+        best: dict[tuple, "np.ndarray"] = {}
+
+        def fold(kt: tuple, hs) -> None:
+            cur = np.unique(hs.to_numpy(dtype=np.int64))
+            prev = best.get(kt)
+            if prev is not None:
+                cur = np.unique(np.concatenate([prev, cur]))
+            best[kt] = cur[:k]
+
+        for pdf in batches:
+            if not keys:
+                fold((), pdf["h"])
+            else:
+                for kv, grp in pdf.groupby(keys, dropna=False, sort=False):
+                    fold(kv if isinstance(kv, tuple) else (kv,), grp["h"])
+        rows = [kt + (int(v),) for kt, arr in best.items() for v in arr]
+        yield pd.DataFrame(rows, columns=[*keys, "h"])
+
+    return hashed.mapInPandas(part, hashed.schema)
+
+
+def kmv_registers(
+    df: DataFrame,
+    col: str,
+    key: str | list[str] | None = None,
+    k: int = KMV_K,
+    native_hash: bool = False,
+) -> DataFrame:
+    """(keys…, h) rows: the k smallest distinct hash values of
+    ``df[col]`` per key — the whole sketch, ≤ k rows per key. Merge =
+    union rows and call :func:`kmv_merge` (tested merge law, like
+    hll_merge). Hashes are non-negative longs (md5 tier: 32-bit)."""
+    keys = [key] if isinstance(key, str) else list(key or [])
+    h = (
+        F.pmod(_h64(F.col(col), "#kmv"), F.lit(2**62)).cast("long")
+        if native_hash
+        else _h32(F.col(col), "#kmv")
+    )
+    partials = _kmv_partials(df, col, keys, k, h)
+    gb = partials.groupBy(*keys) if keys else partials.groupBy()
+    agg = gb.agg(
+        F.slice(F.array_sort(F.array_distinct(F.collect_list("h"))), 1, k).alias(
+            "ks"
+        )
+    )
+    return agg.select(*keys, F.explode("ks").alias("h"))
+
+
+def kmv_merge(
+    registers: DataFrame, key: str | list[str] | None = None, k: int = KMV_K
+) -> DataFrame:
+    """Union any number of per-shard register sets back into one
+    bottom-k sketch per key (idempotent; = kmv_registers of the
+    concatenated inputs, tested)."""
+    keys = [key] if isinstance(key, str) else list(key or [])
+    gb = registers.groupBy(*keys) if keys else registers.groupBy()
+    agg = gb.agg(
+        F.slice(F.array_sort(F.array_distinct(F.collect_list("h"))), 1, k).alias(
+            "ks"
+        )
+    )
+    return agg.select(*keys, F.explode("ks").alias("h"))
+
+
+_KMV_SPACE = float(2**32)  # md5 tier hash space
+
+
+def kmv_estimate(
+    registers: DataFrame,
+    key: str | list[str] | None = None,
+    k: int = KMV_K,
+    space: float = _KMV_SPACE,
+) -> DataFrame:
+    """(keys…, n_reg, est): distinct-count estimate per key. With
+    fewer than k registers the count is EXACT (every distinct hash is
+    present); at k registers the Beyer et al. unbiased estimator
+    (k-1) / U_(k) applies, U_(k) = the k-th smallest hash scaled to
+    (0, 1]."""
+    keys = [key] if isinstance(key, str) else list(key or [])
+    gb = registers.groupBy(*keys) if keys else registers.groupBy()
+    agg = gb.agg(F.count("*").alias("n_reg"), F.max("h").alias("hk"))
+    return agg.select(
+        *keys,
+        "n_reg",
+        F.when(F.col("n_reg") < k, F.col("n_reg").cast("double"))
+        .otherwise(
+            F.lit(float(k - 1)) / ((F.col("hk") + F.lit(1.0)) / F.lit(space))
+        )
+        .alias("est"),
+    )
+
+
+def kmv_intersection(
+    reg_a: DataFrame,
+    reg_b: DataFrame,
+    k: int = KMV_K,
+    space: float = _KMV_SPACE,
+) -> DataFrame:
+    """One-row (n_union_reg, matches, est_union, est_intersection)
+    from two keyless register sets — the estimate HLL cannot give.
+    Beyer et al. §5: K∪ = bottom-k of the register union; ρ = fraction
+    of K∪ present in BOTH input sketches; D̂∩ = ρ · D̂∪."""
+    u = kmv_merge(reg_a.unionByName(reg_b), key=None, k=k)
+    both = reg_a.select("h").intersect(reg_b.select("h"))
+    stats = (
+        u.join(both.withColumn("m", F.lit(1)), "h", "left")
+        .agg(
+            F.count("*").alias("n_union_reg"),
+            F.sum(F.coalesce(F.col("m"), F.lit(0))).alias("matches"),
+            F.max("h").alias("hk"),
+        )
+    )
+    est_u = (
+        F.when(F.col("n_union_reg") < k, F.col("n_union_reg").cast("double"))
+        .otherwise(
+            F.lit(float(k - 1)) / ((F.col("hk") + F.lit(1.0)) / F.lit(space))
+        )
+    )
+    return stats.select(
+        "n_union_reg",
+        "matches",
+        F.round(est_u, 6).alias("est_union"),
+        F.round(
+            (F.col("matches") / F.col("n_union_reg")) * est_u, 6
+        ).alias("est_intersection"),
+    )
