@@ -584,6 +584,51 @@ def _surt_test_urls(spark, sf):
     )
 
 
+def _q_image_dhash_pairs(spark, sf):
+    """Image near-dup VALUE-CHECKED end-to-end through the real PPM
+    decode path (synthesis-inversion oracle, the sitemap_parse
+    pattern): every doc gets a deterministic 9×10 P6 image from its
+    md5 hex; every 10th doc also gets a +10-brightness copy as
+    doc_id+100000. A global monotone pixel shift preserves every
+    adjacent-pixel comparison, so dHash is mathematically INVARIANT —
+    the expected pair set is exactly {(i, i+100000, 0)}, and any
+    decode/downsample/banding bug breaks the match. Random inter-doc
+    collisions at hamming ≤ 3 have probability ~2⁻⁵⁰ per pair."""
+    import hashlib
+
+    import pandas as pd
+
+    from webcrawler_spark.operators.multimodal import dhash_near_pairs, encode_ppm
+
+    def synth(batches):
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf["doc_id"]:
+                # chained md5 -> 288 decorrelated bytes (repeating one
+                # hex digest makes quasi-periodic images whose hashes
+                # collide far above the uniform-bits rate — observed);
+                # % 240 keeps the +10 brightness shift clip-free, which
+                # the monotone-invariance argument requires
+                raw = b"".join(
+                    hashlib.md5(f"{did}:{j}".encode()).digest() for j in range(18)
+                )
+                base = bytes(b % 240 for b in raw)
+                ids.append(int(did))
+                blobs.append(encode_ppm(base, width=9))
+                if did % 10 == 0:
+                    shifted = bytes(b + 10 for b in base)
+                    ids.append(int(did) + 100000)
+                    blobs.append(encode_ppm(shifted, width=9))
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    media = (
+        _docs(spark, sf)
+        .select("doc_id")
+        .mapInPandas(synth, "media_id long, content binary")
+    )
+    return dhash_near_pairs(media)
+
+
 def _q_kmv_registers(spark, sf):
     """KMV bottom-k distinct sketch (Beyer et al. 2007): the 16
     smallest distinct md5 word-hashes per source — actual hash VALUES
@@ -2394,6 +2439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "surt_keys": _q_surt_keys,
         "cdx_roundtrip": _q_cdx_roundtrip,
         "containment_pairs": _q_containment_pairs,
+        "image_dhash_pairs": _q_image_dhash_pairs,
         "kmv_registers": _q_kmv_registers,
         "kmv_estimate": _q_kmv_estimate,
         "kmv_intersection": _q_kmv_intersection,
@@ -3124,6 +3170,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "host_pagerank": _pagerank_oracle_sql(n_iter=5),
         "hits_scores": _hits_oracle_sql(n_iter=5),
+        "image_dhash_pairs": """
+            select doc_id as a, doc_id + 100000 as b, 0 as hamming
+            from documents where doc_id % 10 = 0
+        """,
         "kmv_registers": """
             with w as (select source,
                          unnest(string_split(text, ' ')) as term

@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "containment_pairs",
     "kmv_estimate",
     "kmv_intersection",
+    "image_dhash_pairs",
 ]
 
 

@@ -732,3 +732,60 @@ def remove_duplicate_spans(
         F.coalesce(F.col("n_removed"), F.lit(0)).cast("long").alias("n_removed"),
         F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
     )
+
+
+def hamming_near_pairs(
+    hashes: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "h",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    bits: int = 64,
+) -> DataFrame:
+    """Generic pigeonhole band join for ANY 64-bit-or-less fingerprint
+    column: (a, b, hamming) pairs with hamming ≤ max_hamming. The
+    simhash64_near_pairs candidate machinery factored for reuse by
+    other fingerprint families (image dHash in operators/multimodal.py
+    is the first client): max_hamming < n_bands guarantees one band
+    matches exactly, so candidates come from an equi-join on
+    (band_idx, band_val) — never a cross join — and the exact popcount
+    verify is candidate-bounded."""
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"pigeonhole guarantee needs max_hamming < n_bands"
+            f" (got {max_hamming} >= {n_bands})"
+        )
+    if bits % n_bands:
+        raise ValueError(f"n_bands {n_bands} must divide {bits}")
+    width = bits // n_bands
+    mask = (1 << width) - 1
+    banded = hashes.select(
+        F.col(id_col),
+        F.col(hash_col).alias("_fp"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftrightunsigned(F.col(hash_col), width * i)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "_fp", "band.band_idx", "band.band_val")
+    left = banded.select(
+        F.col(id_col).alias("a"), F.col("_fp").alias("ha"), "band_idx", "band_val"
+    )
+    right = banded.select(
+        F.col(id_col).alias("b"), F.col("_fp").alias("hb"), "band_idx", "band_val"
+    )
+    return (
+        left.join(right, ["band_idx", "band_val"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", F.bit_count(F.expr("ha ^ hb")).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
