@@ -629,6 +629,46 @@ def _q_image_dhash_pairs(spark, sf):
     return dhash_near_pairs(media)
 
 
+def _q_audio_fp_pairs(spark, sf):
+    """Audio near-dup VALUE-CHECKED through the real WAV decode + FFT
+    path (the image_dhash_pairs pattern transposed to gain): every doc
+    gets a deterministic 512-sample 8-bit mono WAV; every 10th doc
+    also a HALF-GAIN copy as doc_id+100000. Samples sit at even
+    offsets around 128 so the halving is integer-exact, and scaling
+    FFT inputs by a power of two commutes with every IEEE rounding —
+    band energies scale by exactly 0.25, every adjacent-band
+    comparison is preserved, and the expected pair set is forced to
+    {(i, i+100000, 0)}."""
+    import hashlib
+
+    import pandas as pd
+
+    from webcrawler_spark.operators.multimodal import audio_near_pairs, encode_wav
+
+    def synth(batches):
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf["doc_id"]:
+                raw = b"".join(
+                    hashlib.md5(f"a{did}:{j}".encode()).digest() for j in range(32)
+                )
+                s = bytes(128 + 2 * ((b % 120) - 60) for b in raw)
+                ids.append(int(did))
+                blobs.append(encode_wav(s))
+                if did % 10 == 0:
+                    half = bytes(128 + (x - 128) // 2 for x in s)
+                    ids.append(int(did) + 100000)
+                    blobs.append(encode_wav(half))
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    media = (
+        _docs(spark, sf)
+        .select("doc_id")
+        .mapInPandas(synth, "media_id long, content binary")
+    )
+    return audio_near_pairs(media)
+
+
 def _q_kmv_registers(spark, sf):
     """KMV bottom-k distinct sketch (Beyer et al. 2007): the 16
     smallest distinct md5 word-hashes per source — actual hash VALUES
@@ -2440,6 +2480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_roundtrip": _q_cdx_roundtrip,
         "containment_pairs": _q_containment_pairs,
         "image_dhash_pairs": _q_image_dhash_pairs,
+        "audio_fp_pairs": _q_audio_fp_pairs,
         "kmv_registers": _q_kmv_registers,
         "kmv_estimate": _q_kmv_estimate,
         "kmv_intersection": _q_kmv_intersection,
@@ -3170,6 +3211,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "host_pagerank": _pagerank_oracle_sql(n_iter=5),
         "hits_scores": _hits_oracle_sql(n_iter=5),
+        "audio_fp_pairs": """
+            select doc_id as a, doc_id + 100000 as b, 0 as hamming
+            from documents where doc_id % 10 = 0
+        """,
         "image_dhash_pairs": """
             select doc_id as a, doc_id + 100000 as b, 0 as hamming
             from documents where doc_id % 10 = 0

@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "kmv_estimate",
     "kmv_intersection",
     "image_dhash_pairs",
+    "audio_fp_pairs",
 ]
 
 

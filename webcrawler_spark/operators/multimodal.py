@@ -347,3 +347,87 @@ def dhash_near_pairs(
         hash_col="dhash",
         max_hamming=max_hamming,
     )
+
+
+# -- perceptual audio near-dup (spectral band fingerprint) ------------------
+#
+# The audio twin of dHash (same family as the public Haitsma-Kalker
+# 2002 "robust audio fingerprinting" scheme, reduced to the sandbox's
+# 8-bit mono WAV tier): frame the signal, FFT each frame, compare
+# ADJACENT band energies — 8 frames × 8 comparisons = 64 bits, joined
+# by the shared dedup.hamming_near_pairs pigeonhole machinery.
+#
+# Relative-energy bits survive exactly what audio dedup needs: global
+# gain change, DC offset, re-encoding noise. For an exact
+# power-of-two gain on exactly-representable samples the invariance
+# is MATHEMATICAL, not approximate: scaling every FFT input by 0.5 is
+# exact in IEEE doubles and commutes with every rounding in the
+# transform (a power of two only shifts exponents), so each band
+# energy scales by exactly 0.25 and every > comparison is preserved —
+# the property the oracle query exploits (the brightness-shift
+# argument of the image tier, transposed to gain).
+
+_AFP_FRAMES = 8
+_AFP_BANDS = 9
+
+
+def audio_fingerprint_py(content: bytes) -> int:
+    """64-bit spectral fingerprint of an 8-bit mono WAV payload."""
+    wav = decode_wav(content)
+    if wav["sampwidth"] != 1 or wav["n_channels"] != 1:
+        raise ValueError("fingerprint tier expects 8-bit mono WAV")
+    s = (
+        np.frombuffer(wav["frames"], dtype=np.uint8).astype(np.float64)
+        - 128.0
+    )
+    if len(s) < _AFP_FRAMES:
+        raise ValueError("too short to frame")
+    val = 0
+    for chunk in np.array_split(s, _AFP_FRAMES):
+        spec = np.abs(np.fft.rfft(chunk)) ** 2
+        bands = [b.sum() for b in np.array_split(spec[1:], _AFP_BANDS)]
+        for j in range(_AFP_BANDS - 1):
+            val = (val << 1) | int(bands[j + 1] > bands[j])
+    return val - (1 << 64) if val >= 1 << 63 else val
+
+
+def audio_fingerprints(
+    media: DataFrame, content_col: str = "content", id_col: str = "media_id"
+) -> DataFrame:
+    """(id, afp long) via Arrow-batched decode+FFT; undecodable or
+    non-8-bit-mono rows are dropped (same contract as dhash_images)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import wave
+
+        for pdf in batches:
+            ids, hs = [], []
+            for mid, content in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    hs.append(audio_fingerprint_py(bytes(content)))
+                    ids.append(mid)
+                except (ValueError, EOFError, wave.Error):
+                    continue
+            yield pd.DataFrame({id_col: ids, "afp": hs})
+
+    return media.select(id_col, content_col).mapInPandas(
+        run, f"{id_col} long, afp long"
+    )
+
+
+def audio_near_pairs(
+    media: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(a, b, hamming) audio near-dup pairs over the spectral
+    fingerprint — dedup.hamming_near_pairs banding, no cross join."""
+    from webcrawler_spark.operators.dedup import hamming_near_pairs
+
+    return hamming_near_pairs(
+        audio_fingerprints(media, content_col, id_col),
+        id_col=id_col,
+        hash_col="afp",
+        max_hamming=max_hamming,
+    )
