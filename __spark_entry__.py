@@ -589,9 +589,10 @@ def _q_image_dhash_pairs(spark, sf):
     decode path (synthesis-inversion oracle, the sitemap_parse
     pattern): every doc gets a deterministic 9×10 P6 image from its
     md5 hex; every 10th doc also gets a +10-brightness copy as
-    doc_id+100000. A global monotone pixel shift preserves every
+    doc_id+10^9 (clear of any real doc_id, the repo's planted-id
+    convention). A global monotone pixel shift preserves every
     adjacent-pixel comparison, so dHash is mathematically INVARIANT —
-    the expected pair set is exactly {(i, i+100000, 0)}, and any
+    the expected pair set is exactly {(i, i+10^9, 0)}, and any
     decode/downsample/banding bug breaks the match. Random inter-doc
     collisions at hamming ≤ 3 have probability ~2⁻⁵⁰ per pair."""
     import hashlib
@@ -617,7 +618,7 @@ def _q_image_dhash_pairs(spark, sf):
                 blobs.append(encode_ppm(base, width=9))
                 if did % 10 == 0:
                     shifted = bytes(b + 10 for b in base)
-                    ids.append(int(did) + 100000)
+                    ids.append(int(did) + 1000000000)
                     blobs.append(encode_ppm(shifted, width=9))
             yield pd.DataFrame({"media_id": ids, "content": blobs})
 
@@ -633,12 +634,12 @@ def _q_audio_fp_pairs(spark, sf):
     """Audio near-dup VALUE-CHECKED through the real WAV decode + FFT
     path (the image_dhash_pairs pattern transposed to gain): every doc
     gets a deterministic 512-sample 8-bit mono WAV; every 10th doc
-    also a HALF-GAIN copy as doc_id+100000. Samples sit at even
+    also a HALF-GAIN copy as doc_id+10^9. Samples sit at even
     offsets around 128 so the halving is integer-exact, and scaling
     FFT inputs by a power of two commutes with every IEEE rounding —
     band energies scale by exactly 0.25, every adjacent-band
     comparison is preserved, and the expected pair set is forced to
-    {(i, i+100000, 0)}."""
+    {(i, i+10^9, 0)}."""
     import hashlib
 
     import pandas as pd
@@ -657,7 +658,7 @@ def _q_audio_fp_pairs(spark, sf):
                 blobs.append(encode_wav(s))
                 if did % 10 == 0:
                     half = bytes(128 + (x - 128) // 2 for x in s)
-                    ids.append(int(did) + 100000)
+                    ids.append(int(did) + 1000000000)
                     blobs.append(encode_wav(half))
             yield pd.DataFrame({"media_id": ids, "content": blobs})
 
@@ -717,7 +718,7 @@ def _q_kmv_intersection(spark, sf):
 
 def _q_containment_pairs(spark, sf):
     """Broder directional containment over documents PLUS synthesized
-    quote docs (every 10th doc's first 15 words as doc_id+100000) —
+    quote docs (every 10th doc's first 15 words as doc_id+10^9) —
     the duplicate class symmetric Jaccard misses: each quote has tiny
     resemblance to its source page but containment ≈ 1 from the
     quote's side. Exact (oracle) tier of dedup.containment_pairs."""
@@ -725,7 +726,7 @@ def _q_containment_pairs(spark, sf):
 
     d = _docs(spark, sf).select("doc_id", "text")
     quotes = d.where(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
+        (F.col("doc_id") + 1000000000).alias("doc_id"),
         F.array_join(F.slice(F.split(F.col("text"), " "), 1, 15), " ").alias(
             "text"
         ),
@@ -3212,11 +3213,11 @@ def oracle_sql() -> dict[str, str]:
         "host_pagerank": _pagerank_oracle_sql(n_iter=5),
         "hits_scores": _hits_oracle_sql(n_iter=5),
         "audio_fp_pairs": """
-            select doc_id as a, doc_id + 100000 as b, 0 as hamming
+            select doc_id as a, doc_id + 1000000000 as b, 0 as hamming
             from documents where doc_id % 10 = 0
         """,
         "image_dhash_pairs": """
-            select doc_id as a, doc_id + 100000 as b, 0 as hamming
+            select doc_id as a, doc_id + 1000000000 as b, 0 as hamming
             from documents where doc_id % 10 = 0
         """,
         "kmv_registers": """
@@ -3295,7 +3296,7 @@ def oracle_sql() -> dict[str, str]:
             with base as (
               select doc_id, text from documents
               union all
-              select doc_id + 100000 as doc_id,
+              select doc_id + 1000000000 as doc_id,
                      array_to_string(list_slice(
                        string_split(text, ' '), 1, 15), ' ') as text
               from documents where doc_id % 10 = 0),

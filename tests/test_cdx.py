@@ -117,3 +117,23 @@ def test_cdx_unsorted_mode(spark, captures, tmp_path):
         cdx_lines(captures), out, lines_per_file=40, globally_sorted=False
     ).collect()
     assert read_cdx(spark, out + "/*.cdx.gz").count() == 250
+
+
+def test_cdx_space_in_path_roundtrips(spark, tmp_path):
+    media = spark.createDataFrame(
+        [("https://a.com/x y/z", bytearray(b"payload"))],
+        "url string, payload binary",
+    ).select(
+        "url",
+        "payload",
+        F.lit("text/html").alias("mime"),
+        F.lit(200).alias("status"),
+        F.to_timestamp(F.lit("2021-01-01 00:00:00")).alias("warc_ts"),
+    )
+    out = str(tmp_path / "cdxspace")
+    write_cdx(cdx_lines(media), out).collect()
+    back = read_cdx(spark, out + "/*.cdx.gz").collect()
+    assert len(back) == 1
+    assert back[0]["surt"] == "com,a)/x%20y/z"  # key field space-free
+    assert back[0]["url"] == "https://a.com/x y/z"  # url survives in json
+    assert back[0]["length"] == 7

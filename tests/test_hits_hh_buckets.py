@@ -133,7 +133,10 @@ def test_heavy_hitters_empty(spark):
 
 def test_heavy_hitters_plan_broadcasts_candidates(spark, zipfy):
     plan = (
-        heavy_hitters(zipfy, "w", 9)._jdf.queryExecution().executedPlan().toString()
+        heavy_hitters(zipfy, "w", 9, materialize=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
     )
     # the recount join must broadcast the tiny candidate side — a
     # sort-merge or shuffled-hash join here would shuffle the corpus

@@ -84,3 +84,13 @@ def test_disjoint_intersection_is_zero(spark):
         kmv_registers(a, "k", k=64), kmv_registers(b, "k", k=64), k=64
     ).collect()[0]
     assert row["matches"] == 0 and row["est_intersection"] == 0.0
+
+
+def test_native_hash_tier_estimates_correctly(spark, items):
+    from webcrawler_spark.operators.sketches import kmv_registers as kr
+
+    regs = kr(items, "k", k=64, native_hash=True)
+    est = kmv_estimate(regs, k=64, native_hash=True).collect()[0]
+    # without the matching space the estimate is ~2^30x off; with it,
+    # the usual accuracy bound holds
+    assert est["est"] == pytest.approx(700, rel=0.4)

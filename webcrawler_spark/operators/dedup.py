@@ -434,45 +434,13 @@ def simhash64_near_pairs(
     random band collisions ~256× vs the 32-bit tier's 8-bit bytes, so
     the verify stage sees far fewer false candidates at corpus scale.
     """
-    if max_hamming >= n_bands:
-        raise ValueError(
-            f"pigeonhole guarantee needs max_hamming < n_bands"
-            f" (got {max_hamming} >= {n_bands})"
-        )
-    if SIMHASH64_BITS % n_bands:
-        raise ValueError(f"n_bands {n_bands} must divide {SIMHASH64_BITS}")
-    width = SIMHASH64_BITS // n_bands
-    mask = (1 << width) - 1
-    fp = simhash64(df, id_col, text_col)
-    banded = fp.select(
-        F.col(id_col),
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band_idx"),
-                        F.shiftrightunsigned(F.col("simhash"), width * i)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("band_val"),
-                    )
-                    for i in range(n_bands)
-                ]
-            )
-        ).alias("band"),
-    ).select(id_col, "simhash", "band.band_idx", "band.band_val")
-    left = banded.select(
-        F.col(id_col).alias("a"), F.col("simhash").alias("ha"), "band_idx", "band_val"
-    )
-    right = banded.select(
-        F.col(id_col).alias("b"), F.col("simhash").alias("hb"), "band_idx", "band_val"
-    )
-    return (
-        left.join(right, ["band_idx", "band_val"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b", F.bit_count(F.expr("ha ^ hb")).alias("hamming"))
-        .distinct()
-        .filter(F.col("hamming") <= max_hamming)
+    return hamming_near_pairs(
+        simhash64(df, id_col, text_col),
+        id_col=id_col,
+        hash_col="simhash",
+        max_hamming=max_hamming,
+        n_bands=n_bands,
+        bits=SIMHASH64_BITS,
     )
 
 
@@ -745,8 +713,9 @@ def hamming_near_pairs(
     """Generic pigeonhole band join for ANY 64-bit-or-less fingerprint
     column: (a, b, hamming) pairs with hamming ≤ max_hamming. The
     simhash64_near_pairs candidate machinery factored for reuse by
-    other fingerprint families (image dHash in operators/multimodal.py
-    is the first client): max_hamming < n_bands guarantees one band
+    other fingerprint families (simhash64_near_pairs delegates here;
+    image dHash and the audio fingerprint in operators/multimodal.py
+    are the other clients): max_hamming < n_bands guarantees one band
     matches exactly, so candidates come from an equi-join on
     (band_idx, band_val) — never a cross join — and the exact popcount
     verify is candidate-bounded."""

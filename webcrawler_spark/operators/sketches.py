@@ -444,20 +444,30 @@ def mg_candidates(df: DataFrame, col: str, k: int) -> DataFrame:
     return df.select(col).mapInPandas(part, schema)
 
 
-def heavy_hitters(df: DataFrame, col: str, k: int) -> DataFrame:
+def heavy_hitters(
+    df: DataFrame, col: str, k: int, materialize: bool = True
+) -> DataFrame:
     """Exact ``(item, cnt)`` for every item occurring MORE than
     n/(k+1) times in ``df[col]`` (n = total rows), without a
     vocabulary-sized shuffle: MG candidates → broadcast semi-join →
     bounded recount → exact threshold. See module comment for the
-    guarantee chain; partitioning-invariance is property-tested."""
+    guarantee chain; partitioning-invariance is property-tested.
+    ``materialize=False`` skips the eager checkpoint (and so keeps the
+    input cache pinned until the caller acts) — for plan inspection
+    and composition into a larger lazy pipeline."""
     # NULL rows are excluded up front on BOTH passes (pandas
     # value_counts drops them silently, which would make a frequent
     # NULL a guaranteed miss while still counting toward n) — the
     # operator answers "which VALUES are frequent"; n is the non-null
     # row count, matching a WHERE col IS NOT NULL oracle
-    df = df.where(F.col(col).isNotNull())
+    # persist once: n, the MG pass, and the recount would otherwise
+    # each re-execute the (often explode-heavy) upstream plan — the
+    # count below materializes the cache, the other two passes read
+    # it, and the tiny eager result lets the cache drop before return
+    df = df.where(F.col(col).isNotNull()).persist()
     n = df.count()
     if n == 0:
+        df.unpersist()
         return df.select(
             F.col(col).alias("item"), F.lit(0).cast("long").alias("cnt")
         ).limit(0)
@@ -468,7 +478,11 @@ def heavy_hitters(df: DataFrame, col: str, k: int) -> DataFrame:
         .groupBy("item")
         .agg(F.count("*").alias("cnt"))
     )
-    return counts.filter(F.col("cnt") * (k + 1) > n)
+    out = counts.filter(F.col("cnt") * (k + 1) > n)
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+        df.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -540,13 +554,7 @@ def kmv_registers(
         else _h32(F.col(col), "#kmv")
     )
     partials = _kmv_partials(df, col, keys, k, h)
-    gb = partials.groupBy(*keys) if keys else partials.groupBy()
-    agg = gb.agg(
-        F.slice(F.array_sort(F.array_distinct(F.collect_list("h"))), 1, k).alias(
-            "ks"
-        )
-    )
-    return agg.select(*keys, F.explode("ks").alias("h"))
+    return kmv_merge(partials, key=keys, k=k)
 
 
 def kmv_merge(
@@ -566,19 +574,26 @@ def kmv_merge(
 
 
 _KMV_SPACE = float(2**32)  # md5 tier hash space
+_KMV_SPACE_NATIVE = float(2**62)  # native_hash tier (pmod-folded xxhash64)
 
 
 def kmv_estimate(
     registers: DataFrame,
     key: str | list[str] | None = None,
     k: int = KMV_K,
-    space: float = _KMV_SPACE,
+    native_hash: bool = False,
+    space: float | None = None,
 ) -> DataFrame:
     """(keys…, n_reg, est): distinct-count estimate per key. With
     fewer than k registers the count is EXACT (every distinct hash is
     present); at k registers the Beyer et al. unbiased estimator
     (k-1) / U_(k) applies, U_(k) = the k-th smallest hash scaled to
-    (0, 1]."""
+    (0, 1]. ``native_hash`` MUST match the kmv_registers call that
+    built the sketch — the two tiers live in different hash spaces
+    (2^32 vs 2^62) and scaling by the wrong one is silently ~2^30×
+    off; ``space`` overrides both for custom hash families."""
+    if space is None:
+        space = _KMV_SPACE_NATIVE if native_hash else _KMV_SPACE
     keys = [key] if isinstance(key, str) else list(key or [])
     gb = registers.groupBy(*keys) if keys else registers.groupBy()
     agg = gb.agg(F.count("*").alias("n_reg"), F.max("h").alias("hk"))
@@ -597,12 +612,16 @@ def kmv_intersection(
     reg_a: DataFrame,
     reg_b: DataFrame,
     k: int = KMV_K,
-    space: float = _KMV_SPACE,
+    native_hash: bool = False,
+    space: float | None = None,
 ) -> DataFrame:
     """One-row (n_union_reg, matches, est_union, est_intersection)
     from two keyless register sets — the estimate HLL cannot give.
     Beyer et al. §5: K∪ = bottom-k of the register union; ρ = fraction
-    of K∪ present in BOTH input sketches; D̂∩ = ρ · D̂∪."""
+    of K∪ present in BOTH input sketches; D̂∩ = ρ · D̂∪. ``native_hash``
+    must match the registers' build tier (see kmv_estimate)."""
+    if space is None:
+        space = _KMV_SPACE_NATIVE if native_hash else _KMV_SPACE
     u = kmv_merge(reg_a.unionByName(reg_b), key=None, k=k)
     both = reg_a.select("h").intersect(reg_b.select("h"))
     stats = (

@@ -58,7 +58,11 @@ def cdx_lines(
     timestamp, md5 digest + byte length of the payload. Pure codegen
     projection; the sink below consumes exactly this shape."""
     return df.select(
-        surt_col(F.col(url)).alias("surt"),
+        # the line format is space-delimited; real CDX keys arrive
+        # percent-encoded from URL canonicalization, so a raw space in
+        # a path must be encoded here or read_cdx's split corrupts the
+        # record (round-trip pinned by test)
+        F.regexp_replace(surt_col(F.col(url)), " ", "%20").alias("surt"),
         F.date_format(F.col(ts), "yyyyMMddHHmmss").alias("ts"),
         F.col(url).alias("url"),
         F.concat(F.lit("md5:"), F.md5(F.col(payload))).alias("digest"),
