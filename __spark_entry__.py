@@ -2371,33 +2371,82 @@ def _tuned(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSessi
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Registration order is load-bearing: the driver's per-round
+    # correctness artifact value-checks the FIRST 50 entries, so the
+    # first 50 are deliberately interleaved to span every tier (crawl
+    # laws, seen filters, dedup, sketches, KMV, BPE/packing, graph,
+    # sources, streaming, multimodal, ANN, composed funnels) — the
+    # round-3 verdict's ask #1. The remainder keeps the historical
+    # grouping; every entry is oracle-checked by scripts/check_oracles
+    # regardless of position.
     q = {
+        # -- tier sampler: first 50 = one artifact row per tier -------
         "pricing_summary": _q_pricing_summary,
+        "crawl_rowsonly": _q_crawl_rowsonly,
+        "robots_gate": _q_robots_gate,
+        "politeness_schedule": _q_politeness_schedule,
+        "budget_landing": _q_budget_landing,
         "anti_join_unseen": _q_anti_join_unseen,
-        "broadcast_dim_join": _q_broadcast_dim_join,
         "fetch_join_filter": _q_fetch_join_filter,
-        "fifo_first_event": _q_fifo_first_event,
         "priority_topk": _q_priority_topk,
+        "bloom_antijoin": _q_bloom_antijoin,
+        "cuckoo_antijoin": _q_cuckoo_antijoin,
+        "exact_dedup": _q_exact_dedup,
+        "minhash_lsh_pairs": _q_minhash_lsh_pairs,
+        "near_dup_pipeline": _q_near_dup_pipeline,
+        "simhash": _q_simhash,
+        "simhash_near_pairs": _q_simhash_near_pairs,
+        "containment_pairs": _q_containment_pairs,
+        "incremental_dedup": _q_incremental_dedup,
+        "segment_dedup": _q_segment_dedup,
+        "duplicate_clusters": _q_duplicate_clusters,
+        "hll_registers": _q_hll_registers,
+        "hll_estimate": _q_hll_estimate,
+        "cms_registers": _q_cms_registers,
+        "cms_topk_est": _q_cms_topk_est,
+        "hdr_quantiles": _q_hdr_quantiles,
+        "heavy_hitters": _q_heavy_hitters,
+        "kmv_registers": _q_kmv_registers,
+        "kmv_estimate": _q_kmv_estimate,
+        "kmv_intersection": _q_kmv_intersection,
+        "bpe_pair_counts": _q_bpe_pair_counts,
+        "bpe_merges": _q_bpe_merges,
+        "bpe_encode_ids": _q_bpe_encode_ids,
+        "pack_chunks": _q_pack_chunks,
+        "pack_greedy": _q_pack_greedy,
+        "hits_scores": _q_hits_scores,
+        "host_pagerank": _q_host_pagerank,
+        "anchor_topk": _q_anchor_topk,
+        "surt_keys": _q_surt_keys,
+        "cdx_roundtrip": _q_cdx_roundtrip,
+        "warc_roundtrip": _q_warc_roundtrip,
+        "wet_roundtrip": _q_wet_roundtrip,
+        "sitemap_parse": _q_sitemap_parse,
+        "stateful_schedule": _q_stateful_schedule,
+        "stream_lsh_dedup": _q_stream_lsh_dedup,
+        "stream_hdr": _q_stream_hdr,
+        "multimodal_codec": _q_multimodal_codec,
+        "image_dhash_pairs": _q_image_dhash_pairs,
+        "audio_fp_pairs": _q_audio_fp_pairs,
+        "cosine_topk": _q_cosine_topk,
+        "lsh_ann": _q_lsh_ann,
+        "cleaning_funnel": _q_cleaning_funnel,
+        # -- remainder (position > 50; still oracle-checked) ----------
+        "broadcast_dim_join": _q_broadcast_dim_join,
+        "fifo_first_event": _q_fifo_first_event,
         "url_parse": _q_url_parse,
         "format_links": _q_format_links,
         "normalize_url": _q_normalize_url,
         "first20_words": _q_first20_words,
         "host_counts": _q_host_counts,
         "distinct_pairs": _q_distinct_pairs,
-        "exact_dedup": _q_exact_dedup,
-        "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "jaccard_pairs": _q_jaccard_pairs,
-        "incremental_dedup": _q_incremental_dedup,
-        "near_dup_pipeline": _q_near_dup_pipeline,
-        "duplicate_clusters": _q_duplicate_clusters,
-        "host_pagerank": _q_host_pagerank,
         "opic_importance": _q_opic_importance,
         "recrawl_priority": _q_recrawl_priority,
         "bigram_logprob": _q_bigram_logprob,
         "vocab_build": _q_vocab_build,
         "encode_docs": _q_encode_docs,
         "gopher_quality": _q_gopher_quality,
-        "segment_dedup": _q_segment_dedup,
         "repetition_stats": _q_repetition_stats,
         "ngram_contamination": _q_ngram_contamination,
         "contamination_matches": _q_contamination_matches,
@@ -2416,7 +2465,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_substring_dedup": _q_exact_substring_dedup,
         "c4_clean": _q_c4_clean,
         "justext_blocks": _q_justext_blocks,
-        "cleaning_funnel": _q_cleaning_funnel,
         "line_repetition": _q_line_repetition,
         "ngram_repetition": _q_ngram_repetition,
         "lr_quality_model": _q_lr_quality_model,
@@ -2425,66 +2473,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_stats": _q_term_stats,
         "cluster_keeper": _q_cluster_keeper,
         "domain_cap": _q_domain_cap,
-        "sitemap_parse": _q_sitemap_parse,
         "robots_sitemaps": _q_robots_sitemaps,
         "url_filter": _q_url_filter,
         "leakage_split": _q_leakage_split,
-        "bpe_pair_counts": _q_bpe_pair_counts,
-        "bpe_merges": _q_bpe_merges,
         "bpe_encode": _q_bpe_encode,
-        "bpe_encode_ids": _q_bpe_encode_ids,
         "temperature_mixture": _q_temperature_mixture,
         "skew_stats": _q_skew_stats,
         "salted_join": _q_salted_join,
-        "pack_chunks": _q_pack_chunks,
-        "pack_greedy": _q_pack_greedy,
         "redact_pii": _q_redact_pii,
-        "anchor_topk": _q_anchor_topk,
         "quality_mixture": _q_quality_mixture,
-        "simhash": _q_simhash,
-        "simhash_near_pairs": _q_simhash_near_pairs,
         "text_quality": _q_text_quality,
         "fingerprints": _q_fingerprints,
         "bpe_token_count": _q_bpe_token_count,
         "winnow_fp": _q_winnow_fp,
-        "cosine_topk": _q_cosine_topk,
         "embedding_near_dup": _q_embedding_near_dup,
         "semantic_dedup": _q_semantic_dedup,
-        "robots_gate": _q_robots_gate,
-        "politeness_schedule": _q_politeness_schedule,
-        "budget_landing": _q_budget_landing,
         "sessionize": _q_sessionize,
         "tumbling_events": _q_tumbling_events,
         "json_props": _q_json_props,
-        "bloom_antijoin": _q_bloom_antijoin,
-        "cuckoo_antijoin": _q_cuckoo_antijoin,
         "ivf_ann": _q_ivf_ann,
         "ivf_ann_probe_rowsonly": _q_ivf_ann_probe_rowsonly,
-        "lsh_ann": _q_lsh_ann,
-        "multimodal_codec": _q_multimodal_codec,
         "multimodal_rowsonly": _q_multimodal_rowsonly,
-        "warc_roundtrip": _q_warc_roundtrip,
-        "wet_roundtrip": _q_wet_roundtrip,
-        "stateful_schedule": _q_stateful_schedule,
-        "stream_lsh_dedup": _q_stream_lsh_dedup,
-        "stream_hdr": _q_stream_hdr,
-        "hll_registers": _q_hll_registers,
-        "hll_estimate": _q_hll_estimate,
-        "cms_registers": _q_cms_registers,
-        "cms_topk_est": _q_cms_topk_est,
-        "hdr_quantiles": _q_hdr_quantiles,
-        "crawl_rowsonly": _q_crawl_rowsonly,
-        "hits_scores": _q_hits_scores,
-        "heavy_hitters": _q_heavy_hitters,
         "ccnet_buckets": _q_ccnet_buckets,
-        "surt_keys": _q_surt_keys,
-        "cdx_roundtrip": _q_cdx_roundtrip,
-        "containment_pairs": _q_containment_pairs,
-        "image_dhash_pairs": _q_image_dhash_pairs,
-        "audio_fp_pairs": _q_audio_fp_pairs,
-        "kmv_registers": _q_kmv_registers,
-        "kmv_estimate": _q_kmv_estimate,
-        "kmv_intersection": _q_kmv_intersection,
     }
     return {name: _tuned(fn) for name, fn in q.items()}
 

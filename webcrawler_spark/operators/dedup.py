@@ -224,8 +224,11 @@ def containment_pairs(
             .agg(F.count("*").alias("inter"))
         )
     else:
+        # LSH bucket joins emit a pair once per colliding band — distinct
+        # first, or the intersection count multiplies by the band count
+        # and containment can exceed 1 (breaking exact-tier row-identity).
         inter = (
-            candidates.select("a", "b")
+            candidates.select("a", "b").distinct()
             .join(sh.select(F.col(id_col).alias("a"), "shingle"), "a")
             .join(sh.select(F.col(id_col).alias("b"), "shingle"), ["b", "shingle"])
             .groupBy("a", "b")

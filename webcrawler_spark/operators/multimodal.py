@@ -83,6 +83,10 @@ def decode_ppm(content: bytes) -> dict:
         i = j
     i += 1  # the single whitespace after maxval
     width, height, maxval = tokens
+    if width < 1 or height < 1:
+        # a 0×N payload would otherwise surface as IndexError deep in
+        # downstream np.ix_ indexing, escaping callers' ValueError nets
+        raise ValueError("degenerate netpbm dimensions")
     if maxval > 255:
         raise NotImplementedError("16-bit netpbm not supported")
     n = width * height * channels
