@@ -630,6 +630,52 @@ def _q_image_dhash_pairs(spark, sf):
     return dhash_near_pairs(media)
 
 
+def _q_image_dhash_png(spark, sf):
+    """PNG decode VALUE-CHECKED end-to-end: the image_dhash_pairs
+    construction, but the base image ships as an 8-bit PNG whose
+    scanline filters cycle 0..4 (every unfilter path exercised on
+    every image) while the +10-brightness copy ships as P6 PPM.
+    dHash reads pixel VALUES, and both containers round-trip pixels
+    exactly, so the pair set is again {(i, i+10^9, 0)} — but now a
+    match proves the zlib inflate + Sub/Up/Average/Paeth inversion +
+    monotone-shift invariance simultaneously; any filter-math bug
+    shifts a pixel and breaks a comparison somewhere in 500 images."""
+    import hashlib
+
+    import pandas as pd
+
+    from webcrawler_spark.operators.multimodal import (
+        dhash_near_pairs,
+        encode_png,
+        encode_ppm,
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf["doc_id"]:
+                raw = b"".join(
+                    hashlib.md5(f"{did}:{j}".encode()).digest() for j in range(18)
+                )
+                base = bytes(b % 240 for b in raw)
+                ids.append(int(did))
+                blobs.append(
+                    encode_png(base, width=9, channels=3, filters=[0, 1, 2, 3, 4])
+                )
+                if did % 10 == 0:
+                    shifted = bytes(b + 10 for b in base)
+                    ids.append(int(did) + 1000000000)
+                    blobs.append(encode_ppm(shifted, width=9))
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    media = (
+        _docs(spark, sf)
+        .select("doc_id")
+        .mapInPandas(synth, "media_id long, content binary")
+    )
+    return dhash_near_pairs(media)
+
+
 def _q_audio_fp_pairs(spark, sf):
     """Audio near-dup VALUE-CHECKED through the real WAV decode + FFT
     path (the image_dhash_pairs pattern transposed to gain): every doc
@@ -2427,11 +2473,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_hdr": _q_stream_hdr,
         "multimodal_codec": _q_multimodal_codec,
         "image_dhash_pairs": _q_image_dhash_pairs,
+        "image_dhash_png": _q_image_dhash_png,
         "audio_fp_pairs": _q_audio_fp_pairs,
-        "cosine_topk": _q_cosine_topk,
         "lsh_ann": _q_lsh_ann,
         "cleaning_funnel": _q_cleaning_funnel,
         # -- remainder (position > 50; still oracle-checked) ----------
+        "cosine_topk": _q_cosine_topk,
         "broadcast_dim_join": _q_broadcast_dim_join,
         "fifo_first_event": _q_fifo_first_event,
         "url_parse": _q_url_parse,
@@ -3227,6 +3274,10 @@ def oracle_sql() -> dict[str, str]:
             from documents where doc_id % 10 = 0
         """,
         "image_dhash_pairs": """
+            select doc_id as a, doc_id + 1000000000 as b, 0 as hamming
+            from documents where doc_id % 10 = 0
+        """,
+        "image_dhash_png": """
             select doc_id as a, doc_id + 1000000000 as b, 0 as hamming
             from documents where doc_id % 10 = 0
         """,

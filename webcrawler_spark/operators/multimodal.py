@@ -4,12 +4,13 @@ A web-scale training pipeline carries media as ``binary`` columns with
 typed metadata, decoded lazily inside Arrow-batched ``mapInPandas``
 stages. The *Spark-side* machinery here — schemas, batch iteration,
 partition sizing, deterministic fakes for tests — is real and tested.
-Uncompressed codecs are real too: binary PPM/PGM (netpbm P6/P5, pure
-parsing) and WAV (stdlib ``wave``), driven end-to-end with
-value-checked features by ``__spark_entry__._q_multimodal_codec``.
-Only COMPRESSED codecs (jpeg/png/mp3/h264) stay behind
-``NotImplementedError`` because no image/audio libraries exist in this
-sandbox (plug Pillow / torchaudio / PyAV there in production).
+Real codecs (stdlib/numpy only): binary PPM/PGM (netpbm P6/P5, pure
+parsing), 8-bit PNG (zlib inflate + the five RFC 2083 scanline
+filters, CRC-verified), and WAV (stdlib ``wave``) — driven end-to-end
+with value-checked features by ``__spark_entry__._q_multimodal_codec``
+/ ``_q_image_dhash_png``. Only codecs with no stdlib decoder
+(jpeg/mp3/h264) stay behind ``NotImplementedError`` (plug Pillow /
+torchaudio / PyAV there in production).
 
 Design points that matter at 100 TB:
 * media rows are wide → ``media_repartition_by_size`` packs partitions
@@ -39,14 +40,15 @@ MEDIA_SCHEMA = (
 IMAGE_FEATURE_DIM = 16
 
 
-# -- real uncompressed codecs (stdlib/numpy only) ---------------------------
+# -- real codecs (stdlib/numpy only) ----------------------------------------
 #
-# Compressed formats (jpeg/png/mp3/h264) need libraries this sandbox
-# lacks and stay behind NotImplementedError. Uncompressed formats are
+# Formats with no stdlib decoder (jpeg/mp3/h264) need libraries this
+# sandbox lacks and stay behind NotImplementedError. Everything else is
 # decoded FOR REAL: binary PPM/PGM (netpbm P6/P5) with pure parsing,
+# 8-bit PNG via stdlib zlib + hand-rolled scanline unfiltering (below),
 # WAV via the stdlib ``wave`` module — enough to run the whole
 # decode→feature pipeline end-to-end with value-checked results
-# (__spark_entry__._q_multimodal_codec).
+# (__spark_entry__._q_multimodal_codec / _q_image_dhash_png).
 
 
 def encode_ppm(payload: bytes, width: int = 4) -> bytes | None:
@@ -131,15 +133,214 @@ def decode_wav(content: bytes) -> dict:
         }
 
 
-def _decode_image_real(content: bytes) -> "np.ndarray":
-    """Image decode: real for uncompressed netpbm (P6/P5); compressed
-    codecs (jpeg/png/...) raise until Pillow/opencv is plugged in."""
-    if content[:2] in (b"P6", b"P5"):
-        return decode_ppm(content)["pixels"]
-    raise NotImplementedError(
-        "compressed image codecs not available in this environment;"
-        " supported here: binary PPM/PGM (use fake=True for others)"
+# -- PNG (pure stdlib: zlib inflate + the five scanline filters) ------------
+#
+# PNG is "compressed" only in the DEFLATE sense — the stdlib ships the
+# codec (zlib), so unlike JPEG/MP3 it decodes for REAL here: chunk walk
+# with CRC verification, IHDR/PLTE/IDAT, zlib inflate, and the RFC 2083
+# §6 scanline filters (None/Sub/Up/Average/Paeth) inverted per row.
+# Supported: bit depth 8, color types 0 (gray), 2 (rgb), 3 (palette),
+# 4 (gray+alpha), 6 (rgba), interlace 0 — the shapes web thumbnails
+# and screenshots overwhelmingly use. 16-bit and Adam7 raise
+# NotImplementedError. This makes dHash near-dup real on the format
+# web images are actually served in.
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(content: bytes) -> dict:
+    """Decode an 8-bit non-interlaced PNG. Returns the decode_ppm
+    contract: {kind, width, height, maxval, pixels: HxWxC uint8}
+    (C includes alpha for color types 4/6; palette rows expand to
+    rgb). Chunk CRCs are verified; corrupt payloads raise ValueError."""
+    import zlib
+
+    if content[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, plte, idat = 8, None, None, []
+    while pos + 8 <= len(content):
+        (length,) = np.frombuffer(content, ">u4", 1, pos)
+        ctype = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + int(length)]
+        crc = content[pos + 8 + int(length) : pos + 12 + int(length)]
+        if len(data) < length or len(crc) < 4:
+            raise ValueError("truncated PNG chunk")
+        if zlib.crc32(ctype + data) != int.from_bytes(crc, "big"):
+            raise ValueError("PNG chunk CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + int(length)
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    width, height = np.frombuffer(ihdr, ">u4", 2, 0)
+    width, height = int(width), int(height)
+    depth, colortype, comp, filt, interlace = ihdr[8:13]
+    if width < 1 or height < 1:
+        raise ValueError("degenerate PNG dimensions")
+    if depth != 8:
+        raise NotImplementedError("only 8-bit PNG supported")
+    if colortype not in _PNG_CHANNELS or comp != 0 or filt != 0:
+        raise ValueError("invalid PNG header fields")
+    if interlace != 0:
+        raise NotImplementedError("Adam7 interlace not supported")
+    channels = _PNG_CHANNELS[colortype]
+    raw = zlib.decompress(b"".join(idat))
+    stride = width * channels
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG payload size mismatch")
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = bytearray(stride)
+    for r in range(height):
+        f = raw[r * (stride + 1)]
+        line = bytearray(raw[r * (stride + 1) + 1 : (r + 1) * (stride + 1)])
+        if f == 0:
+            pass
+        elif f == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                c = prev[i - channels] if i >= channels else 0
+                line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        out[r] = np.frombuffer(bytes(line), dtype=np.uint8)
+        prev = line
+    px = out.reshape(height, width, channels)
+    if colortype == 3:
+        if plte is None or len(plte) % 3:
+            raise ValueError("palette PNG missing/short PLTE")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        if int(px.max()) >= len(pal):
+            raise ValueError("palette index out of range")
+        px = pal[px[:, :, 0]]
+    return {
+        "kind": "image",
+        "width": width,
+        "height": height,
+        "maxval": 255,
+        "pixels": px,
+    }
+
+
+def encode_png(
+    payload: bytes,
+    width: int = 4,
+    channels: int = 3,
+    filters: int | list[int] = 0,
+) -> bytes | None:
+    """Pack raw bytes into an 8-bit PNG (encode_ppm's contract: fixed
+    width, height = len // (channels*width), surplus dropped, None if
+    under one row). ``channels``: 1 gray, 2 gray+alpha, 3 rgb, 4 rgba.
+    ``filters`` picks the per-row filter type (int, or a list cycled
+    row-by-row) so fixtures can exercise every unfilter path."""
+    import zlib
+
+    colortype = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    stride = channels * width
+    height = len(payload) // stride
+    if height < 1 or width < 1:
+        return None
+    body = np.frombuffer(
+        payload[: stride * height], dtype=np.uint8
+    ).reshape(height, stride)
+    frow = filters if isinstance(filters, list) else [filters]
+    lines = bytearray()
+    prev = np.zeros(stride, dtype=np.int16)
+    for r in range(height):
+        f = frow[r % len(frow)]
+        cur = body[r].astype(np.int16)
+        left = np.concatenate([np.zeros(channels, np.int16), cur[:-channels]])
+        upl = np.concatenate([np.zeros(channels, np.int16), prev[:-channels]])
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            enc = cur - left
+        elif f == 2:
+            enc = cur - prev
+        elif f == 3:
+            enc = cur - ((left + prev) >> 1)
+        elif f == 4:
+            pred = np.array(
+                [_paeth(int(a), int(b), int(c))
+                 for a, b, c in zip(left, prev, upl)],
+                dtype=np.int16,
+            )
+            enc = cur - pred
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        lines.append(f)
+        lines.extend((enc & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big") + ctype + data
+            + zlib.crc32(ctype + data).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        width.to_bytes(4, "big") + height.to_bytes(4, "big")
+        + bytes([8, colortype, 0, 0, 0])
     )
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_image(content: bytes) -> dict:
+    """Sniff-and-decode: netpbm (P5/P6) or PNG. The single entry point
+    the feature/dHash paths use; JPEG stays behind NotImplementedError
+    (no stdlib DCT codec — plug Pillow/opencv in production)."""
+    if content[:2] in (b"P6", b"P5"):
+        return decode_ppm(content)
+    if content[:8] == PNG_SIG:
+        return decode_png(content)
+    raise NotImplementedError(
+        "unsupported image codec (real here: netpbm P5/P6, PNG 8-bit;"
+        " use fake=True for others)"
+    )
+
+
+def image_color_pixels(img: dict) -> "np.ndarray":
+    """Color planes of a decoded image: alpha (the last channel of
+    color types 4/6) is dropped so perceptual features see the same
+    values whether the payload carried an alpha channel or not."""
+    px = img["pixels"]
+    return px[:, :, :-1] if px.shape[2] in (2, 4) else px
+
+
+def _decode_image_real(content: bytes) -> "np.ndarray":
+    """Image decode: real for netpbm (P6/P5) and 8-bit PNG; other
+    codecs (jpeg/...) raise until Pillow/opencv is plugged in."""
+    return image_color_pixels(decode_image(content))
 
 
 def _fake_feature(content: bytes, dim: int) -> np.ndarray:
@@ -197,8 +398,8 @@ def media_codec_features(media: DataFrame) -> DataFrame:
             rows = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 b = bytes(content or b"")
-                if b[:2] in (b"P6", b"P5"):
-                    d = decode_ppm(b)
+                if b[:2] in (b"P6", b"P5") or b[:8] == PNG_SIG:
+                    d = decode_image(b)
                     rows.append(
                         (
                             mid, "image", d["width"], d["height"], None, None,
@@ -296,11 +497,13 @@ def build_fake_media(spark, n: int = 64) -> DataFrame:
 
 
 def dhash_py(content: bytes) -> int:
-    """64-bit dHash of a binary netpbm (P6/P5) payload. Deterministic
+    """64-bit dHash of a netpbm (P6/P5) or 8-bit PNG payload — pixel
+    values are exact through either container, so the hash is codec-
+    independent (PNG(img) and PPM(img) collide at hamming 0; the
+    image_dhash_png oracle exploits this). Deterministic
     nearest-neighbor 9×8 downsample (works for any size ≥ 1px;
     block-mean would need size guards), row-wise g[r,c+1] > g[r,c]."""
-    img = decode_ppm(content)
-    g = img["pixels"].astype(np.float64).mean(axis=2)
+    g = image_color_pixels(decode_image(content)).astype(np.float64).mean(axis=2)
     h, w = g.shape
     ridx = (np.arange(8) * h) // 8
     cidx = (np.arange(9) * w) // 9
@@ -320,13 +523,17 @@ def dhash_images(
     via media_codec_features if the pipeline needs the reject rate)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib
+
         for pdf in batches:
             ids, hs = [], []
             for mid, content in zip(pdf[id_col], pdf[content_col]):
                 try:
                     hs.append(dhash_py(bytes(content)))
                     ids.append(mid)
-                except (ValueError, NotImplementedError):
+                except (ValueError, NotImplementedError, zlib.error):
+                    # zlib.error: corrupt DEFLATE inside a PNG — a
+                    # malformed blob drops the row, not the task
                     continue
             yield pd.DataFrame({id_col: ids, "dhash": hs})
 
