@@ -194,3 +194,182 @@ def test_urllib3_real_timeout_and_refused(loopback_server):
 
     port = urllib.parse.urlsplit(base).port
     assert tr.head(f"http://127.0.0.1:{port ^ 1}/x") is None
+
+
+# ---------------------------------------------------------------------
+# FULL engine e2e over a REAL socket (round-3 verdict ask #3): the
+# crawl's live executor drives Urllib3Transport through a loopback
+# TLS-terminating CONNECT proxy that serves the synthetic corpus —
+# real CONNECT tunnel, real TLS handshake, real certificate
+# verification against an ephemeral CA (SANs for the *.example parity
+# hosts), real HTTP/1.1 keep-alive inside the tunnel. The proxy is the
+# egress seam a production crawl cluster has anyway; the assertion is
+# the same byte-identity bar as the FakeTransport tests.
+# ---------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def loopback_tls_proxy(tmp_path_factory, spark, pages):
+    import datetime
+    import socketserver
+    import ssl
+    import threading
+
+    from cryptography import x509
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import ec
+    from cryptography.x509.oid import NameOID
+
+    corpus = transport_from_pages(pages).corpus
+    hosts = sorted(
+        {u.split("/")[2] for u in corpus if u.startswith("https://")}
+    )
+
+    def mint():
+        nvb = datetime.datetime(2000, 1, 1, tzinfo=datetime.timezone.utc)
+        nva = datetime.datetime(2100, 1, 1, tzinfo=datetime.timezone.utc)
+        ca_key = ec.generate_private_key(ec.SECP256R1())
+        ca_name = x509.Name(
+            [x509.NameAttribute(NameOID.COMMON_NAME, "loopback e2e CA")]
+        )
+        ca = (
+            x509.CertificateBuilder()
+            .subject_name(ca_name)
+            .issuer_name(ca_name)
+            .public_key(ca_key.public_key())
+            .serial_number(x509.random_serial_number())
+            .not_valid_before(nvb)
+            .not_valid_after(nva)
+            .add_extension(
+                x509.BasicConstraints(ca=True, path_length=None), critical=True
+            )
+            .sign(ca_key, hashes.SHA256())
+        )
+        leaf_key = ec.generate_private_key(ec.SECP256R1())
+        leaf = (
+            x509.CertificateBuilder()
+            .subject_name(
+                x509.Name([x509.NameAttribute(NameOID.COMMON_NAME, hosts[0])])
+            )
+            .issuer_name(ca_name)
+            .public_key(leaf_key.public_key())
+            .serial_number(x509.random_serial_number())
+            .not_valid_before(nvb)
+            .not_valid_after(nva)
+            .add_extension(
+                x509.SubjectAlternativeName(
+                    [x509.DNSName(h) for h in hosts]
+                    + [x509.DNSName("*.example")]
+                ),
+                critical=False,
+            )
+            .add_extension(
+                x509.BasicConstraints(ca=False, path_length=None), critical=True
+            )
+            .sign(ca_key, hashes.SHA256())
+        )
+        return ca, leaf, leaf_key
+
+    ca, leaf, leaf_key = mint()
+    d = tmp_path_factory.mktemp("tlsproxy")
+    (d / "ca.pem").write_bytes(ca.public_bytes(serialization.Encoding.PEM))
+    (d / "leaf.pem").write_bytes(leaf.public_bytes(serialization.Encoding.PEM))
+    (d / "leaf.key").write_bytes(
+        leaf_key.private_bytes(
+            serialization.Encoding.PEM,
+            serialization.PrivateFormat.PKCS8,
+            serialization.NoEncryption(),
+        )
+    )
+    ssl_ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    ssl_ctx.load_cert_chain(str(d / "leaf.pem"), str(d / "leaf.key"))
+
+    class Tunnel(socketserver.BaseRequestHandler):
+        def handle(self):
+            try:
+                self._handle()
+            except (OSError, ssl.SSLError, ValueError):
+                pass  # client hung up / handshake abort — next tunnel
+
+        def _handle(self):
+            self.request.settimeout(15)
+            f = self.request.makefile("rb")
+            line = f.readline().decode("latin-1").strip()
+            if not line:
+                return
+            method, target = line.split()[:2]
+            while f.readline() not in (b"\r\n", b"\n", b""):
+                pass
+            if method != "CONNECT":
+                self.request.sendall(b"HTTP/1.1 400 Bad Request\r\n\r\n")
+                return
+            host = target.rsplit(":", 1)[0]
+            self.request.sendall(
+                b"HTTP/1.1 200 Connection Established\r\n\r\n"
+            )
+            tls = ssl_ctx.wrap_socket(self.request, server_side=True)
+            tf = tls.makefile("rb")
+            while True:
+                req = tf.readline()
+                if not req or req in (b"\r\n", b"\n"):
+                    break
+                m, path = req.decode("latin-1").split()[:2]
+                while tf.readline() not in (b"\r\n", b"\n", b""):
+                    pass
+                row = corpus.get(f"https://{host}{path}")
+                status, ct, body = row if row else (404, "text/plain", b"")
+                tls.sendall(
+                    (
+                        f"HTTP/1.1 {status} S\r\nContent-Type: {ct}\r\n"
+                        f"Content-Length: {len(body)}\r\n"
+                        f"Connection: keep-alive\r\n\r\n"
+                    ).encode("latin-1")
+                    + (b"" if m == "HEAD" else body)
+                )
+
+    class Server(socketserver.ThreadingTCPServer):
+        allow_reuse_address = True
+        daemon_threads = True
+
+    srv = Server(("127.0.0.1", 0), Tunnel)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    yield (
+        f"http://127.0.0.1:{srv.server_address[1]}",
+        str(d / "ca.pem"),
+    )
+    srv.shutdown()
+
+
+@pytest.fixture(scope="module")
+def live_socket(spark, pages, loopback_tls_proxy):
+    proxy_url, ca_pem = loopback_tls_proxy
+    eng = CrawlEngine(
+        spark,
+        pages,
+        config=CrawlConfig(
+            max_rounds=40,
+            transport=Urllib3Transport(
+                connect_timeout=5.0,
+                read_timeout=10.0,
+                proxy_url=proxy_url,
+                ca_certs=ca_pem,
+            ),
+        ),
+    )
+    eng.run(seeds_df(spark))
+    return eng
+
+
+def test_socket_seen_and_fetched_parity(offline, live_socket):
+    """The crawl over real TCP+TLS+HTTP reproduces the offline URL-seen
+    set and fetched flags exactly (proxy 404 for a corpus-missing URL
+    == offline head-miss under the F3/F5 gates)."""
+    off = {r["url"]: r["fetched"] for r in offline.seen().collect()}
+    liv = {r["url"]: r["fetched"] for r in live_socket.seen().collect()}
+    assert off == liv
+
+
+def test_socket_text_byte_identical(offline, live_socket):
+    """input_hint invariant over the wire: GET bodies that crossed a
+    real TLS socket round-trip to byte-identical extracted text."""
+    off = {r["url"]: r["text"] for r in offline.pages_fetched().collect()}
+    liv = {r["url"]: r["text"] for r in live_socket.pages_fetched().collect()}
+    assert off == liv

@@ -96,15 +96,34 @@ class Urllib3Transport:
         " Firefox/firefoxversion"
     )
 
-    def __init__(self, connect_timeout: float = 2.0, read_timeout: float = 3.0):
+    def __init__(
+        self,
+        connect_timeout: float = 2.0,
+        read_timeout: float = 3.0,
+        proxy_url: str | None = None,
+        ca_certs: str | None = None,
+    ):
+        """``proxy_url``: route all requests through a forward proxy
+        (urllib3 ProxyManager — https URLs tunnel via CONNECT). This is
+        the egress seam a production crawl cluster usually has anyway,
+        and it lets the full engine e2e run against a REAL socket in a
+        no-egress sandbox (tests/test_live_fetch.py runs the crawl
+        through a loopback TLS-terminating CONNECT proxy that serves
+        the synthetic corpus). ``ca_certs``: CA bundle path overriding
+        certifi — required when the proxy terminates TLS with its own
+        CA; cert verification stays ON either way."""
         self.connect_timeout = connect_timeout
         self.read_timeout = read_timeout
+        self.proxy_url = proxy_url
+        self.ca_certs = ca_certs
         self._pool = None  # lazily built per process
 
     def __getstate__(self):
         return {
             "connect_timeout": self.connect_timeout,
             "read_timeout": self.read_timeout,
+            "proxy_url": self.proxy_url,
+            "ca_certs": self.ca_certs,
         }
 
     def __setstate__(self, state):
@@ -116,19 +135,26 @@ class Urllib3Transport:
             import urllib3
 
             kwargs = {"retries": False}
-            try:
-                import certifi
-
+            if self.ca_certs is not None:
                 kwargs["cert_reqs"] = "CERT_REQUIRED"
-                kwargs["ca_certs"] = certifi.where()
-            except ImportError:
-                pass
-            self._pool = urllib3.PoolManager(
-                timeout=urllib3.util.Timeout(
-                    connect=self.connect_timeout, read=self.read_timeout
-                ),
-                **kwargs,
+                kwargs["ca_certs"] = self.ca_certs
+            else:
+                try:
+                    import certifi
+
+                    kwargs["cert_reqs"] = "CERT_REQUIRED"
+                    kwargs["ca_certs"] = certifi.where()
+                except ImportError:
+                    pass
+            timeout = urllib3.util.Timeout(
+                connect=self.connect_timeout, read=self.read_timeout
             )
+            if self.proxy_url is not None:
+                self._pool = urllib3.ProxyManager(
+                    self.proxy_url, timeout=timeout, **kwargs
+                )
+            else:
+                self._pool = urllib3.PoolManager(timeout=timeout, **kwargs)
         return self._pool
 
     def _request(self, method: str, url: str):
