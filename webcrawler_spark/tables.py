@@ -149,7 +149,7 @@ class MemoryCatalog:
             self._dirs.setdefault(name, []).append(d)
         return self.spark.read.parquet(d)
 
-    def compact(self, name: str) -> DataFrame:
+    def compact(self, name: str) -> Optional[DataFrame]:
         """Merge a table's delta dirs into one snapshot dir. Long
         crawls append one `seen` delta per round; periodic compaction
         keeps the union fan-in (and at scale, the file count the
@@ -343,7 +343,7 @@ class ParquetCatalog:
             self._dirs.setdefault(name, []).append(d)
         return self.spark.read.parquet(d)
 
-    def compact(self, name: str) -> DataFrame:
+    def compact(self, name: str) -> Optional[DataFrame]:
         """Merge delta dirs into one snapshot dir (manifest keeps old
         dirs referenced by prior rounds; nothing is deleted — pair
         with :meth:`gc` to reclaim on long crawls)."""
@@ -385,3 +385,232 @@ class ParquetCatalog:
             json.dump(m, f, indent=1)
         os.replace(tmp, self._manifest_path)
         return {"pruned_rounds": len(pruned), "deleted_dirs": len(dead)}
+
+
+class IcebergCatalog:
+    """The same catalog interface against a REAL Iceberg catalog —
+    the swap the module docstring promises, as code instead of prose.
+
+    ``prefix`` is a fully-qualified Iceberg namespace (e.g.
+    ``local.crawl`` for a Hadoop catalog named ``local``); every table
+    ``name`` becomes ``{prefix}.{name}`` and every write is the native
+    DataFrameV2 path:
+
+    * ``overwrite``  -> ``df.writeTo(fqn).using("iceberg").createOrReplace()``
+    * ``append``     -> ``df.writeTo(fqn).append()``
+    * ``append_delta`` -> append + Iceberg incremental read
+      (``start-snapshot-id``/``end-snapshot-id``) over just-written files
+    * ``commit_round`` -> one row appended to ``{prefix}.crawl_rounds``
+      recording the round's state scalars and each table's CURRENT
+      snapshot id — the checkpoint is itself an Iceberg table
+    * ``read_as_of``/time travel -> ``VERSION AS OF`` the snapshot id
+      recorded by that round's checkpoint row
+    * ``compact``    -> ``CALL <cat>.system.rewrite_data_files``
+    * ``gc``         -> ``CALL <cat>.system.expire_snapshots``
+
+    The engine never touches storage outside this class, so running on
+    Iceberg is construction-time wiring: ``CrawlEngine(...,
+    catalog=IcebergCatalog(spark, "prod.crawl"))``. The sandbox ships
+    no Iceberg runtime jar (and has no network to fetch one), so the
+    class is exercised two ways in tests/test_iceberg_catalog.py: a
+    call-sequence conformance suite over recorder mocks (every method,
+    in-sandbox) and a real end-to-end suite that runs whenever a
+    ``spark.sql.catalog.*`` Iceberg catalog is configured (skipped
+    here with the attempted probe documented).
+    """
+
+    durable = True
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        prefix: str,
+        as_of_round: int | None = None,
+        target_file_mb: int = 128,
+    ):
+        self.spark = spark
+        self.prefix = prefix
+        self.catalog_name = prefix.split(".", 1)[0]
+        self.target_file_mb = target_file_mb
+        self._rounds_fqn = f"{prefix}.crawl_rounds"
+        self._as_of = as_of_round
+        self._known: set[str] = set()
+        self._lock = threading.Lock()
+        ns = prefix.split(".", 1)[1] if "." in prefix else prefix
+        spark.sql(
+            f"CREATE NAMESPACE IF NOT EXISTS {self.catalog_name}.{ns}"
+        )
+
+    def _fqn(self, name: str) -> str:
+        return f"{self.prefix}.{name}"
+
+    def _exists(self, name: str) -> bool:
+        return self.spark.catalog.tableExists(self._fqn(name))
+
+    def _snapshot_id(self, name: str) -> Optional[int]:
+        rows = self.spark.sql(
+            f"SELECT snapshot_id FROM {self._fqn(name)}.snapshots"
+            " ORDER BY committed_at DESC LIMIT 1"
+        ).collect()
+        return int(rows[0][0]) if rows else None
+
+    def _round_row(self, as_of_round: int | None) -> Optional[dict]:
+        if not self._exists("crawl_rounds"):
+            return None
+        df = self.spark.table(self._rounds_fqn)
+        if as_of_round is not None:
+            df = df.filter(df.round <= as_of_round)
+        rows = df.orderBy(df.round.desc()).limit(1).collect()
+        if not rows:
+            if as_of_round is not None:
+                raise ValueError(
+                    f"no snapshot at or before round {as_of_round}"
+                )
+            return None
+        r = rows[0]
+        return {
+            "round": int(r["round"]),
+            "ts": float(r["ts"]),
+            "state": json.loads(r["state"]),
+            "tables": json.loads(r["snapshots"]),
+        }
+
+    # -- data ------------------------------------------------------------
+    def read(self, name: str) -> Optional[DataFrame]:
+        if not self._exists(name):
+            return None
+        if self._as_of is not None:
+            row = self._round_row(self._as_of)
+            sid = (row or {"tables": {}})["tables"].get(name)
+            if sid is not None:
+                return self.spark.read.option(
+                    "snapshot-id", sid
+                ).table(self._fqn(name))
+        return self.spark.table(self._fqn(name))
+
+    def overwrite(self, name: str, df: DataFrame) -> DataFrame:
+        (
+            df.writeTo(self._fqn(name))
+            .using("iceberg")
+            .tableProperty(
+                "write.target-file-size-bytes",
+                str(self.target_file_mb << 20),
+            )
+            .createOrReplace()
+        )
+        with self._lock:
+            self._known.add(name)
+        return self.spark.table(self._fqn(name))
+
+    def register_empty(self, name: str, df: DataFrame) -> DataFrame:
+        return self.overwrite(name, df.limit(0))
+
+    def _append(self, name: str, df: DataFrame, max_records_per_file: int):
+        if not self._exists(name):
+            return self.overwrite(name, df)
+        w = df.writeTo(self._fqn(name))
+        if max_records_per_file:
+            # O7 rotation: Iceberg sizes files in bytes, not records;
+            # fanout-per-file is bounded by the table's
+            # write.target-file-size-bytes property set at creation
+            pass
+        w.append()
+        with self._lock:
+            self._known.add(name)
+        return None
+
+    def append(self, name: str, df: DataFrame, max_records_per_file: int = 0) -> DataFrame:
+        created = self._append(name, df, max_records_per_file)
+        return created if created is not None else self.spark.table(self._fqn(name))
+
+    def append_delta(self, name: str, df: DataFrame, max_records_per_file: int = 0) -> DataFrame:
+        before = self._snapshot_id(name) if self._exists(name) else None
+        created = self._append(name, df, max_records_per_file)
+        if created is not None or before is None:
+            return self.spark.table(self._fqn(name))
+        after = self._snapshot_id(name)
+        return (
+            self.spark.read.format("iceberg")
+            .option("start-snapshot-id", before)
+            .option("end-snapshot-id", after)
+            .load(self._fqn(name))
+        )
+
+    def compact(self, name: str) -> Optional[DataFrame]:
+        if not self._exists(name):
+            return None
+        self.spark.sql(
+            f"CALL {self.catalog_name}.system.rewrite_data_files"
+            f"(table => '{self._fqn(name)}')"
+        )
+        return self.spark.table(self._fqn(name))
+
+    # -- checkpoint / time travel -----------------------------------------
+    def commit_round(self, round_no: int, state: dict) -> None:
+        with self._lock:
+            snaps = {
+                t: self._snapshot_id(t)
+                for t in sorted(self._known)
+                if self._exists(t)
+            }
+        row = self.spark.createDataFrame(
+            [(round_no, time.time(), json.dumps(state), json.dumps(snaps))],
+            "round bigint, ts double, state string, snapshots string",
+        )
+        if self._exists("crawl_rounds"):
+            row.writeTo(self._rounds_fqn).append()
+        else:
+            row.writeTo(self._rounds_fqn).using("iceberg").createOrReplace()
+        self._as_of = None  # fork head, ParquetCatalog semantics
+
+    def load_state(self) -> Optional[dict]:
+        row = self._round_row(self._as_of)
+        return dict(row["state"]) if row else None
+
+    def snapshots(self) -> list[dict]:
+        if not self._exists("crawl_rounds"):
+            return []
+        return [
+            {
+                "round": int(r["round"]),
+                "ts": float(r["ts"]),
+                "tables": sorted(json.loads(r["snapshots"])),
+            }
+            for r in self.spark.table(self._rounds_fqn)
+            .orderBy("round")
+            .collect()
+        ]
+
+    def read_as_of(self, name: str, round_no: int) -> Optional[DataFrame]:
+        row = self._round_row(round_no)
+        if row is None:
+            return None
+        sid = row["tables"].get(name)
+        if sid is None:
+            return None
+        return self.spark.read.option("snapshot-id", sid).table(
+            self._fqn(name)
+        )
+
+    def gc(self, keep_rounds: int = 8) -> dict:
+        """Iceberg-native retention: drop crawl_rounds rows older than
+        the newest ``keep_rounds`` and expire snapshots older than the
+        oldest retained checkpoint per table."""
+        if keep_rounds < 1:
+            raise ValueError("keep_rounds must be >= 1")
+        rounds = self.snapshots()
+        if len(rounds) <= keep_rounds:
+            return {"pruned_rounds": 0, "deleted_dirs": 0}
+        cutoff = rounds[-keep_rounds]["round"]
+        self.spark.sql(
+            f"DELETE FROM {self._rounds_fqn} WHERE round < {cutoff}"
+        )
+        with self._lock:
+            known = sorted(self._known)
+        for t in known:
+            if self._exists(t):
+                self.spark.sql(
+                    f"CALL {self.catalog_name}.system.expire_snapshots"
+                    f"(table => '{self._fqn(t)}', retain_last => {keep_rounds})"
+                )
+        return {"pruned_rounds": len(rounds) - keep_rounds, "deleted_dirs": -1}
