@@ -1945,6 +1945,169 @@ def _q_cleaning_funnel(spark, sf):
     return a.crossJoin(b)
 
 
+def _q_pipeline_funnel(spark, sf):
+    """THE end-to-end training-data pipeline (round-3 verdict ask #6):
+    eleven production stages composed in production order over one
+    corpus, one oracled survivor-count per stage —
+
+      C4 line filter → Gopher stats gate → exact dedup (digest
+      keeper) → MinHash-LSH + Jaccard near-dup → 13-gram
+      decontamination → NB langid gate → CCNet LM head+middle →
+      per-domain cap → deterministic mixture → concat-chunk packing →
+      BPE-pretokenizer encode accounting
+
+    Planted work so every stage provably cuts: doc_id % 37 docs gain
+    an exact mirror (+10^9), doc_id % 41 docs a one-word near-dup
+    variant (+2·10^9, Jaccard (n-2)/(n-1) ≈ 0.95 ≥ the 0.8 verify
+    bar); the cleaned doc_id % 50 slice doubles as the eval suite the
+    decontamination stage removes. Models are fit OFFLINE on the raw
+    corpus (NB langid on the even-doc_id half, the unigram LM on all
+    of it — the CCNet shape) and applied to the in-flight cleaned
+    text.
+
+    Scale shape: every stage is the audited plan of its standalone
+    query (codegen projections, digest-keyed dedup shuffle, banded LSH
+    joins, broadcast bench-grams/model/priors, two-level domain-cap
+    window, md5 mixture cut, distributed prefix-sum packing); the LM
+    quality gate is TakeOrderedAndProject on the rounded score (at
+    100 TB you would swap the exact top-2/3 for approx-quantile
+    thresholds). localCheckpoints truncate lineage at four
+    chokepoints so the twelve single-row aggregates don't recompute
+    the funnel. The DuckDB oracle replays all eleven stages in one
+    CTE chain."""
+    from webcrawler_spark.operators.cleaning import (
+        c4_line_filter,
+        decontaminate,
+        gopher_quality_flags,
+    )
+    from webcrawler_spark.operators.dedup import near_duplicate_pairs
+    from webcrawler_spark.operators.langid import fit_nb_langid, nb_langid
+    from webcrawler_spark.operators.mixing import domain_cap, mixture_sample
+    from webcrawler_spark.operators.packing import (
+        pack_concat_chunks,
+        token_count_col,
+    )
+    from webcrawler_spark.operators.textstats import (
+        bpe_token_count,
+        unigram_logprob,
+    )
+
+    d = _docs(spark, sf)
+
+    # stage 1: C4 line filter over the deterministic lined docs
+    c4 = c4_line_filter(_lined_docs(spark, sf), min_words=3)
+    flat = c4.select(
+        "doc_id",
+        F.regexp_replace("clean_text", "\n", " ").alias("text"),
+        F.col("keep").alias("keep_c4"),
+    ).join(d.select("doc_id", "lang", "source"), "doc_id")
+    mirrors = flat.where("doc_id % 37 = 0").select(
+        (F.col("doc_id") + F.lit(1000000000)).alias("doc_id"),
+        "text", "keep_c4", "lang", "source",
+    )
+    variants = flat.where("doc_id % 41 = 0").select(
+        (F.col("doc_id") + F.lit(2000000000)).alias("doc_id"),
+        F.concat("text", F.lit(" zzvariantzz")).alias("text"),
+        "keep_c4", "lang", "source",
+    )
+    corpus = flat.unionByName(mirrors).unionByName(variants).localCheckpoint()
+    c4k = corpus.where("keep_c4").drop("keep_c4")
+
+    # stage 2: Gopher doc-stats gate
+    gop = gopher_quality_flags(
+        c4k,
+        min_words=20,
+        max_words=80,
+        min_avg_word_len=3.0,
+        max_avg_word_len=10.0,
+        max_symbol_ratio=0.1,
+        min_stopword_hits=2,
+        max_dup_2gram_ratio=0.05,
+    )
+    g = c4k.join(gop.where("keep").select("doc_id"), "doc_id")
+
+    # stage 3: exact dedup — min-doc_id keeper per md5 digest
+    dig = g.withColumn("dig", F.md5("text"))
+    keeper = dig.groupBy("dig").agg(F.min("doc_id").alias("doc_id"))
+    ex = dig.join(keeper, ["dig", "doc_id"], "left_semi").drop("dig")
+    ex = ex.localCheckpoint()
+
+    # stage 4: LSH candidates → Jaccard ≥ 0.8 → drop the larger id
+    pairs = near_duplicate_pairs(ex.select("doc_id", "text"), threshold=0.8)
+    nd = ex.join(
+        pairs.select(F.col("b").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_anti",
+    )
+
+    # stage 5: decontaminate vs the cleaned eval slice (doc_id % 50)
+    bench = corpus.where("keep_c4 and doc_id % 50 = 0").select("doc_id", "text")
+    dc = decontaminate(nd, bench, n=13).localCheckpoint()
+
+    # stage 6: NB langid gate — model fit offline on the raw even half
+    model, priors = fit_nb_langid(
+        d.where(F.col("doc_id") % 2 == 0), max_vocab=300
+    )
+    pred = nb_langid(dc, model, priors)
+    lg = dc.join(
+        pred.where("pred_lang = 'en'").select("doc_id"), "doc_id", "left_semi"
+    )
+
+    # stage 7: CCNet LM head+middle — top 2/3 by unigram logprob under
+    # the raw-corpus model, total-ordered on (rounded score, doc_id)
+    scores = unigram_logprob(lg, model_docs=d)
+    k_keep = -(-2 * scores.count() // 3)  # ceil(2n/3)
+    top = (
+        scores.orderBy(F.col("avg_logp").desc(), "doc_id")
+        .limit(k_keep)
+        .select("doc_id")
+    )
+    lq = lg.join(top, "doc_id", "left_semi").localCheckpoint()
+
+    # stage 8: per-domain cap (keep 4 per source, by doc_id)
+    cap = domain_cap(lq, host_col="source", k=4).drop("host_rank")
+
+    # stage 9: deterministic md5-cut mixture
+    mix = mixture_sample(cap, rates=_MIX_RATES, default_rate=0.1)
+    mix = mix.localCheckpoint()
+
+    # stages 10-11: packing + encode accounting
+    toks = mix.select(
+        "doc_id", token_count_col("text").cast("long").alias("n_tokens")
+    )
+    packed = pack_concat_chunks(toks, seq_len=_PACK_SEQ_LEN)
+
+    def cnt(df, name):
+        return df.agg(F.count(F.lit(1)).cast("long").alias(name))
+
+    return (
+        cnt(corpus, "n_raw")
+        .crossJoin(cnt(c4k, "n_c4"))
+        .crossJoin(cnt(g, "n_gopher"))
+        .crossJoin(cnt(ex, "n_exact"))
+        .crossJoin(cnt(nd, "n_neardup"))
+        .crossJoin(cnt(dc, "n_decontam"))
+        .crossJoin(cnt(lg, "n_lang"))
+        .crossJoin(cnt(lq, "n_quality"))
+        .crossJoin(cnt(cap, "n_cap"))
+        .crossJoin(cnt(mix, "n_mix"))
+        .crossJoin(
+            packed.agg(
+                F.coalesce(F.max("seq_last") + 1, F.lit(0))
+                .cast("long")
+                .alias("n_chunks")
+            )
+        )
+        .crossJoin(
+            mix.agg(
+                F.coalesce(F.sum(bpe_token_count(F.col("text"))), F.lit(0))
+                .cast("long")
+                .alias("n_bpe_tokens")
+            )
+        )
+    )
+
+
 def _block_docs(spark, sf):
     """Documents as a deterministic jusText block table (doc_id, pos,
     text, link_chars): words chunk into 14-word base blocks; block i's
@@ -2476,8 +2639,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dhash_png": _q_image_dhash_png,
         "audio_fp_pairs": _q_audio_fp_pairs,
         "lsh_ann": _q_lsh_ann,
-        "cleaning_funnel": _q_cleaning_funnel,
+        "pipeline_funnel": _q_pipeline_funnel,
         # -- remainder (position > 50; still oracle-checked) ----------
+        "cleaning_funnel": _q_cleaning_funnel,
         "cosine_topk": _q_cosine_topk,
         "broadcast_dim_join": _q_broadcast_dim_join,
         "fifo_first_event": _q_fifo_first_event,
@@ -2830,6 +2994,232 @@ def _opic_oracle_sql(n_iter: int = 5) -> str:
 # the GPT-2-style pretokenizer (textstats.BPE_PRETOKEN_RE) as a DuckDB
 # escaped-string literal — Java∩RE2-portable, shared with bpe_token_count
 _BPE_SQL_RE = r"e'\'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+'"
+
+
+def _pipeline_funnel_oracle_sql() -> str:
+    """The eleven-stage pipeline_funnel replayed as one DuckDB CTE
+    chain: each CTE is the verbatim oracle fragment of the standalone
+    stage query (cleaning_funnel's lined-docs/C4/Gopher CTEs, the
+    near_dup_pipeline LSH+Jaccard block at threshold 0.8, the
+    decontaminate 13-gram block, _NB_LANGID_CORE_SQL + its predict
+    CTEs, the unigram_logprob model, domain_cap's window, the
+    mixture_sample md5 cut, and the packing/BPE token arithmetic)."""
+    grams13 = (
+        "case when len(w) < 13 then []::VARCHAR[] else "
+        "list_transform(generate_series(1, len(w) - 12), "
+        "i -> array_to_string(list_slice(w, i, i + 12), ' ')) end"
+    )
+    tri = (
+        "case when length(text) >= 3 then list_transform("
+        "generate_series(1, length(text) - 2), i -> substring(text, i, 3)) "
+        "else []::VARCHAR[] end"
+    )
+    return f"""
+        with s as (select doc_id, string_split(text, ' ') as ws
+                   from documents),
+        b as (select doc_id, ws,
+                     greatest(cast(ceil(len(ws) / 6.0) as int), 1) as nseg
+              from s),
+        lines as (
+          select doc_id,
+                 list_transform(generate_series(1, nseg), i ->
+                   array_to_string(
+                     list_slice(ws, (i - 1) * 6 + 1, (i - 1) * 6 + 6),
+                     ' ')
+                   || case cast(('0x' || substring(
+                           md5(doc_id || '|' || i), 1, 2)) as ubigint) % 5
+                      when 0 then '.' when 1 then '.'
+                      when 2 then '?' when 3 then ''
+                      else ' javascript.' end) as ls
+          from b),
+        doc as (
+          select doc_id,
+                 array_to_string(ls, chr(10))
+                   || case when doc_id % 97 = 0
+                           then chr(10) || 'lorem ipsum dolor.'
+                           else '' end as text2
+          from lines),
+        flat as materialized (
+          select f.doc_id,
+                 replace(array_to_string(
+                   list_filter(string_split(text2, chr(10)), l ->
+                     right(l, 1) in ('.', '!', '?', '"')
+                     and len(string_split(l, ' ')) >= 3
+                     and not contains(lower(l), 'javascript')),
+                   chr(10)), chr(10), ' ') as text,
+                 (not (contains(lower(text2), 'lorem ipsum')
+                       or contains(text2, '{{'))
+                  and len(list_filter(string_split(text2, chr(10)), l ->
+                        right(l, 1) in ('.', '!', '?', '"')
+                        and len(string_split(l, ' ')) >= 3
+                        and not contains(lower(l), 'javascript'))) >= 1)
+                   as keep_c4,
+                 dd.lang, dd.source
+          from doc f join documents dd using (doc_id)),
+        corpus as materialized (
+          select * from flat
+          union all
+          select doc_id + 1000000000, text, keep_c4, lang, source
+          from flat where doc_id % 37 = 0
+          union all
+          select doc_id + 2000000000, text || ' zzvariantzz',
+                 keep_c4, lang, source
+          from flat where doc_id % 41 = 0),
+        c4k as materialized (
+          select doc_id, text, lang, source from corpus where keep_c4),
+        gs as (
+          select doc_id, text, lang, source,
+                 string_split(text, ' ') as gws,
+                 length(string_split(text, ' ')) as n_tok,
+                 length(text) as n_chr,
+                 len(string_split(text, '#')) - 1 as n_hash,
+                 len(string_split(text, '...')) - 1 as n_ell
+          from c4k),
+        gm as (
+          select doc_id, text, lang, source, n_tok,
+                 (n_chr - n_tok + 1) / n_tok as avg_len,
+                 (n_hash + n_ell) / n_tok as symbol_ratio,
+                 len(list_filter(gws, w -> w in
+                   ('the','a','and','of','to','in','is','on','for',
+                    'with'))) as stop_hits,
+                 case when n_tok - 1 < 1 then 0.0
+                      else (greatest(n_tok - 1, 0)
+                            - len(list_distinct(list_transform(
+                                generate_series(1, greatest(n_tok - 1, 1)),
+                                i -> array_to_string(
+                                  list_slice(gws, i, i + 1), ' ')))))
+                           / greatest(n_tok - 1, 0)
+                 end as dup_ratio
+          from gs),
+        surv as materialized (
+          select doc_id, text, lang, source from gm
+          where (n_tok between 20 and 80)
+            and (avg_len >= 3.0 and avg_len <= 10.0)
+            and (symbol_ratio <= 0.1)
+            and (stop_hits >= 2)
+            and (dup_ratio <= 0.05)),
+        ex as materialized (
+          select surv.* from surv
+          join (select md5(text) as dig, min(doc_id) as doc_id
+                from surv group by 1) k
+            on k.doc_id = surv.doc_id and k.dig = md5(surv.text)),
+        sh as (
+          select doc_id, unnest(list_distinct(
+            case when length(string_split(text, ' ')) < 3
+                 then []::VARCHAR[]
+                 else list_transform(
+                   generate_series(1, length(string_split(text, ' ')) - 2),
+                   i -> array_to_string(
+                     list_slice(string_split(text, ' '), i, i + 2), ' '))
+            end)) as shingle
+          from ex),
+        sig as (
+          select doc_id, bb.band_id,
+                 min(md5(bb.band_id || '|' || shingle)) as band_min
+          from sh cross join
+               (select unnest(['0','1','2','3']) as band_id) bb
+          group by doc_id, bb.band_id),
+        cand as (
+          select distinct l.doc_id as a, r.doc_id as b
+          from sig l join sig r using (band_id, band_min)
+          where l.doc_id < r.doc_id),
+        sizes as (select doc_id, count(*) as sz from sh group by doc_id),
+        inter as (
+          select c.a, c.b, count(*) as inter
+          from cand c
+          join sh sa on sa.doc_id = c.a
+          join sh sb on sb.doc_id = c.b and sb.shingle = sa.shingle
+          group by c.a, c.b),
+        drops as (
+          select distinct b as doc_id
+          from inter
+          join sizes sa on sa.doc_id = a
+          join sizes sb on sb.doc_id = b
+          where round(inter / (sa.sz + sb.sz - inter), 6) >= 0.8),
+        nd as materialized (
+          select * from ex
+          where doc_id not in (select doc_id from drops)),
+        w13 as (select doc_id, string_split(lower(text), ' ') as w from nd),
+        g13 as (select doc_id, unnest(list_distinct({grams13})) as gram
+                from w13),
+        bw as (select doc_id, string_split(lower(text), ' ') as w
+               from corpus where keep_c4 and doc_id % 50 = 0),
+        bg as (select distinct gram from (
+                 select unnest(list_distinct({grams13})) as gram from bw)),
+        flagged as (select distinct doc_id from g13 join bg using (gram)),
+        dc as materialized (
+          select * from nd
+          where doc_id not in (select doc_id from flagged)),
+        core as ({_NB_LANGID_CORE_SQL}),
+        tg as (select doc_id, unnest({tri}) as gram from dc),
+        sc as (select doc_id, lang, sum(logp) as ll
+               from tg join core using (gram) group by 1, 2),
+        tr as (select lang from documents where doc_id % 2 = 0),
+        pri as (select lang,
+                       ln(count(*)) - ln((select count(*) from tr))
+                         as logprior
+                from tr group by lang),
+        fin as (select doc_id, lang, ll + logprior as score
+                from sc join pri using (lang)),
+        pred as (select doc_id, lang as pred_lang from fin
+                 qualify row_number() over (partition by doc_id
+                                            order by score desc, lang) = 1),
+        lg as materialized (
+          select dc.* from dc join pred using (doc_id)
+          where pred_lang = 'en'),
+        mw as (select unnest(string_split(text, ' ')) as term
+               from documents),
+        model as (select term, count(*) as cnt from mw group by term),
+        tot as (select sum(cnt) as total from model),
+        dw as (select doc_id, unnest(string_split(text, ' ')) as term
+               from lg),
+        scores as (select doc_id,
+                          round(avg(log10(cnt / total)), 6) as avg_logp
+                   from dw join model using (term) cross join tot
+                   group by doc_id),
+        lqids as (select doc_id from scores
+                  qualify row_number() over (order by avg_logp desc, doc_id)
+                          <= ceil(2 * count(*) over () / 3.0)),
+        lq as materialized (
+          select lg.* from lg join lqids using (doc_id)),
+        cap as materialized (
+          select doc_id, text, lang, source
+          from (select *, row_number() over (partition by source
+                                             order by doc_id) as hr
+                from lq)
+          where hr <= 4),
+        mix as materialized (
+          select * from cap
+          where cast(('0x' || substring(md5(cast(doc_id as varchar)),
+                                        1, 8)) as ubigint)
+                  / 4294967296.0
+                < case lang when 'en' then 0.5
+                            when 'zh' then 0.25
+                            when 'es' then 0.75
+                            else 0.1 end),
+        packagg as (
+          select coalesce(sum(len(regexp_extract_all(text, '\\S+'))), 0)
+                   as tot_ws
+          from mix),
+        bpeagg as (
+          select coalesce(sum(len(regexp_extract_all(text,
+                   {_BPE_SQL_RE}, 0))), 0) as tot_bpe
+          from mix)
+        select
+          (select count(*) from corpus) as n_raw,
+          (select count(*) from c4k) as n_c4,
+          (select count(*) from surv) as n_gopher,
+          (select count(*) from ex) as n_exact,
+          (select count(*) from nd) as n_neardup,
+          (select count(*) from dc) as n_decontam,
+          (select count(*) from lg) as n_lang,
+          (select count(*) from lq) as n_quality,
+          (select count(*) from cap) as n_cap,
+          (select count(*) from mix) as n_mix,
+          cast(ceil(tot_ws / 128.0) as bigint) as n_chunks,
+          cast(tot_bpe as bigint) as n_bpe_tokens
+        from packagg cross join bpeagg
+    """
 
 
 def _bpe_oracle_sql(
@@ -4057,6 +4447,7 @@ def oracle_sql() -> dict[str, str]:
                     and len(kept) >= 1) as keep
             from f
         """,
+        "pipeline_funnel": _pipeline_funnel_oracle_sql(),
         "cleaning_funnel": """
             with s as (select doc_id, string_split(text, ' ') as ws
                        from documents),

@@ -221,6 +221,7 @@ def unigram_logprob(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    model_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document mean unigram log-probability: (doc_id, n_tokens,
     avg_logp) — the unigram tier of CCNet's LM quality bucketing
@@ -239,7 +240,19 @@ def unigram_logprob(
     words = df.select(
         F.col(id_col), F.explode(words_col(F.col(text_col))).alias("term")
     )
-    model = words.groupBy("term").agg(F.count("*").alias("cnt"))
+    # CCNet proper trains the LM on a separate clean corpus; pass
+    # ``model_docs`` to score ``df`` under that corpus's unigram model
+    # (tokens absent from the model vocabulary are skipped — the inner
+    # join below — mirroring an OOV-dropping scorer). Default: the
+    # corpus scores itself, the degenerate single-corpus tier.
+    mwords = (
+        words
+        if model_docs is None
+        else model_docs.select(
+            F.explode(words_col(F.col(text_col))).alias("term")
+        )
+    )
+    model = mwords.groupBy("term").agg(F.count("*").alias("cnt"))
     total = model.select(F.sum("cnt").alias("total"))
     return (
         words.join(F.broadcast(model), "term")
