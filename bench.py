@@ -92,7 +92,9 @@ BENCH_QUERIES = [
     "kmv_estimate",
     "kmv_intersection",
     "image_dhash_pairs",
+    "image_dhash_png",
     "audio_fp_pairs",
+    "pipeline_funnel",
 ]
 
 

@@ -1,0 +1,294 @@
+"""Analytics-tier scale stress (round-3 verdict ask #4).
+
+The per-round bench times the dedup/cleaning/sketch operators at sf0.1
+(5k short docs). This script runs the heavy representatives over the
+output of a REAL 240k-page crawl of the 640k-page / ~20 GiB bench
+corpus — 48× the docs, ~3000× the bytes — at local[32], and emits one
+JSON blob for BENCH.md's BENCH_scale section.
+
+Corpus: ``build_big_web(body_mode="diverse")`` — same page sizes and
+crawl cost as the scaling-bench corpus, but per-page unique two-tier
+vocabulary text so dedup/sketch/LM operators see realistic shingle
+diversity (the default "repeat" filler makes every page one of 97
+near-identical classes, which degenerates MinHash into an all-pairs
+explosion — a real hazard, handled by candidate-bounding, but not a
+useful throughput measurement). 5% of docs get planted exact mirrors
+so the dedup tiers have true positives to find.
+
+Usage: python scripts/bench_scale_analytics.py [out.json]
+Env:   SPARK_GRAFT_SCALE_DIR   corpus+work dir (default /tmp/bigweb-r04-scale)
+       SPARK_GRAFT_SCALE_OPS   comma list to restrict the op set
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+sys.path.insert(0, REPO)
+
+HOSTS = int(os.environ.get("SPARK_GRAFT_SCALE_HOSTS", "16000"))
+PAGES_PER_HOST = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "40"))
+BODY_KB = int(os.environ.get("SPARK_GRAFT_SCALE_BODY_KB", "32"))
+LIMIT = int(os.environ.get("SPARK_GRAFT_SCALE_LIMIT", "240000"))
+
+WORK = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/bigweb-r04-scale")
+
+
+def get_spark():
+    from pyspark.sql import SparkSession
+
+    from webcrawler_spark.session import apply_perf_conf
+
+    spark = (
+        apply_perf_conf(
+            SparkSession.builder.master("local[32]")
+            .appName("scale-analytics")
+            .config("spark.driver.memory", "48g")
+            .config("spark.sql.shuffle.partitions", "64")
+            .config("spark.sql.files.maxPartitionBytes", "64m")
+            .config("spark.local.dir", os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/tmp"))
+            .config("spark.ui.enabled", "false")
+        )
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def ensure_corpus(spark) -> str:
+    from webcrawler_spark.sources.synthetic_web import build_big_web
+
+    pages_dir = os.path.join(WORK, "pages")
+    if not os.path.isdir(pages_dir):
+        t0 = time.time()
+        df = build_big_web(
+            spark,
+            num_hosts=HOSTS,
+            pages_per_host=PAGES_PER_HOST,
+            partitions=64,
+            body_kb=BODY_KB,
+            body_mode="diverse",
+        )
+        df.repartition(64, df.url).write.parquet(pages_dir)
+        print(f"corpus built in {time.time() - t0:.0f}s", file=sys.stderr)
+    return pages_dir
+
+
+def ensure_docs(spark) -> tuple[str, dict]:
+    """Crawl 240k pages, persist the fetched text as a documents-shaped
+    table (doc_id, text, lang, source). Returns (docs_dir, crawl_stats)."""
+    from pyspark.sql import functions as F
+
+    from webcrawler_spark.engine import CrawlConfig
+    from webcrawler_spark.plans.crawl import crawl
+    from webcrawler_spark.sources.synthetic_web import big_web_seeds
+
+    docs_dir = os.path.join(WORK, "docs")
+    stats_path = os.path.join(WORK, "crawl_stats.json")
+    if os.path.isdir(docs_dir) and os.path.exists(stats_path):
+        return docs_dir, json.load(open(stats_path))
+    pages = spark.read.parquet(ensure_corpus(spark))
+    seeds = big_web_seeds(spark, num_hosts=HOSTS, every=1)
+    cfg = CrawlConfig(
+        limit=LIMIT,
+        max_rounds=8,
+        collect_metrics=False,
+        max_urls_per_host_per_round=50,
+        round_window=10.0,
+        n_buckets=32,
+    )
+    t0 = time.time()
+    session = crawl(spark, pages, seeds, config=cfg)
+    dt = time.time() - t0
+    eng = session.engine
+    fetched = eng.pages_fetched().select("url", "host", "text")
+    docs = fetched.select(
+        F.abs(F.xxhash64("url")).alias("doc_id"),
+        F.col("text"),
+        F.lit("en").alias("lang"),
+        F.col("host").alias("source"),
+    )
+    # planted exact mirrors: every 20th doc re-appears under a new id,
+    # so exact/near dedup have true positives at scale
+    docs = docs.unionByName(
+        docs.where(F.col("doc_id") % 20 == 0).select(
+            (F.col("doc_id") + F.lit(1)).alias("doc_id"),
+            "text", "lang", "source",
+        )
+    )
+    docs.repartition(64, "doc_id").write.mode("overwrite").parquet(docs_dir)
+    stats = {
+        "wall_s": round(dt, 1),
+        "pages": eng.state.total_fetched,
+        "urls": eng.state.total_attempted,
+        "rounds": len(session.history),
+        "pages_per_sec": round(eng.state.total_fetched / dt, 1),
+    }
+    json.dump(stats, open(stats_path, "w"))
+    print("crawl:", json.dumps(stats), file=sys.stderr)
+    return docs_dir, stats
+
+
+def _isolate(spark) -> None:
+    import gc
+
+    gc.collect()
+    spark.catalog.clearCache()
+    jsc = spark.sparkContext._jsc.sc()
+    it = jsc.getPersistentRDDs().values().iterator()
+    while it.hasNext():
+        it.next().unpersist(True)
+    spark.sparkContext._jvm.System.gc()
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    spark = get_spark()
+    docs_dir, crawl_stats = ensure_docs(spark)
+    docs = spark.read.parquet(docs_dir)
+    n_docs = docs.count()
+    total_chars = docs.agg(F.sum(F.length("text"))).first()[0]
+
+    from webcrawler_spark.operators.bpe import (
+        init_symbols,
+        pair_counts,
+        word_freqs,
+    )
+    from webcrawler_spark.operators.cleaning import (
+        c4_line_filter,
+        dedup_text_segments,
+        gopher_quality_flags,
+    )
+    from webcrawler_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        near_duplicate_pairs,
+    )
+    from webcrawler_spark.operators.graph import duplicate_clusters
+    from webcrawler_spark.operators.packing import (
+        pack_concat_chunks,
+        token_count_col,
+    )
+    from webcrawler_spark.operators.sketches import (
+        cms_registers,
+        heavy_hitters,
+        hll_registers,
+    )
+    from webcrawler_spark.operators.textstats import words_col
+
+    def words():
+        return docs.select(
+            "source", F.explode(words_col(F.col("text"))).alias("term")
+        )
+
+    def lined():
+        # the diverse corpus carries natural sentence terminals every
+        # 12 words ("... w11."), so line structure is one LINEAR regex
+        # pass (a slice-per-line reconstruction like _lined_docs would
+        # be O(words²) per doc — measured pathological at 4k words)
+        return docs.select(
+            "doc_id",
+            F.regexp_replace("text", r"\. ", ".\n").alias("text"),
+        )
+
+    OPS = {
+        "exact_dedup_keeper": lambda: docs.withColumn("dig", F.md5("text"))
+        .groupBy("dig")
+        .agg(F.min("doc_id"))
+        .count(),
+        "minhash_lsh_candidates": lambda: lsh_candidate_pairs(
+            docs.select("doc_id", "text")
+        ).count(),
+        "near_dup_pipeline": lambda: near_duplicate_pairs(
+            docs.select("doc_id", "text"), threshold=0.5
+        ).count(),
+        "duplicate_clusters": lambda: duplicate_clusters(
+            docs.select("doc_id", "text"), threshold=0.5
+        ).count(),
+        "segment_dedup": lambda: dedup_text_segments(
+            docs.select("doc_id", "text"), words_per_segment=8, max_dupes=1
+        ).count(),
+        "c4_gopher_funnel": lambda: (
+            lambda c4: c4.where("keep")
+            .select("doc_id", F.regexp_replace("clean_text", "\n", " ").alias("text"))
+            .join(
+                gopher_quality_flags(
+                    c4.where("keep").select(
+                        "doc_id",
+                        F.regexp_replace("clean_text", "\n", " ").alias("text"),
+                    ),
+                    min_words=50,
+                    max_words=100000,
+                    min_avg_word_len=1.0,
+                    max_avg_word_len=20.0,
+                    max_symbol_ratio=0.2,
+                    min_stopword_hits=0,
+                    max_dup_2gram_ratio=0.8,
+                ).where("keep").select("doc_id"),
+                "doc_id",
+            )
+            .count()
+        )(c4_line_filter(lined(), min_words=3)),
+        # k=200: the diverse vocab's 100-word head carries ~0.7% of
+        # tokens each, so the exact >n/(k+1) bar must sit under that
+        "heavy_hitters": lambda: heavy_hitters(
+            words().select("term"), "term", k=200
+        ).count(),
+        "hll_registers": lambda: hll_registers(
+            words(), "term", key="source"
+        ).count(),
+        "cms_registers": lambda: cms_registers(
+            words().select("term"), "term"
+        ).count(),
+        "bpe_pair_counts": lambda: pair_counts(
+            init_symbols(word_freqs(docs, text_col="text"))
+        ).count(),
+        "pack_chunks": lambda: pack_concat_chunks(
+            docs.select(
+                "doc_id", token_count_col("text").cast("long").alias("n_tokens")
+            ),
+            seq_len=2048,
+        ).count(),
+    }
+    only = os.environ.get("SPARK_GRAFT_SCALE_OPS")
+    if only:
+        keep = set(only.split(","))
+        ops = {k: v for k, v in OPS.items() if k in keep}
+    else:
+        ops = OPS
+
+    results = {}
+    for name, fn in ops.items():
+        _isolate(spark)
+        t0 = time.time()
+        rows = fn()
+        dt = time.time() - t0
+        results[name] = {"sec": round(dt, 1), "rows": rows}
+        print(f"{name}: {dt:.1f}s rows={rows}", file=sys.stderr)
+
+    out = {
+        "corpus": {
+            "hosts": HOSTS,
+            "pages_per_host": PAGES_PER_HOST,
+            "body_kb": BODY_KB,
+            "body_mode": "diverse",
+            "crawl_limit": LIMIT,
+        },
+        "docs": {"n_docs": n_docs, "total_chars": total_chars},
+        "crawl": crawl_stats,
+        "operators": results,
+    }
+    line = json.dumps(out)
+    print(line)
+    if len(sys.argv) > 1:
+        with open(sys.argv[1], "w") as fh:
+            fh.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -159,6 +159,11 @@ def child(cpus: int) -> None:
         ),
         round_window=float(os.environ.get("SPARK_GRAFT_BENCH_WINDOW", "10.0")),
         n_buckets=cpus,
+        # round-3 verdict ask #7: run the J1 URL-seen stage with the
+        # sharded bloom/cuckoo pre-pass ON ("exact" anti-join is the
+        # default) so BENCH.md can record the filter's cost at 10^5
+        # scale (it exists to pay off at 10^10)
+        seen_filter=os.environ.get("SPARK_GRAFT_BENCH_SEEN_FILTER") or None,
     )
     t0 = time.time()
     session = crawl(spark, pages, seeds, config=cfg)
