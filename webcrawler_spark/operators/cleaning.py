@@ -24,7 +24,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from webcrawler_spark.operators.textstats import STOPWORDS, token_count, words_col
+from webcrawler_spark.operators.textstats import (
+    STOPWORDS,
+    sliding_ngrams,
+    token_count,
+    words_col,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -69,12 +74,9 @@ def gopher_quality_flags(
     stop_hits = F.size(F.filter(words, lambda w: w.isin(STOPWORDS)))
 
     n_bigrams = F.greatest(n_tok - F.lit(1), F.lit(0))
-    bigrams = F.when(n_bigrams < 1, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), n_bigrams),
-            lambda i: F.array_join(F.slice(words, i, 2), " "),
-        )
-    )
+    # linear sliding construction — the slice-per-gram form is O(len²)
+    # per doc (round-4 scale-stress finding; same fix as word_shingles)
+    bigrams = sliding_ngrams(words, 2)
     dup_ratio = F.when(n_bigrams < 1, F.lit(0.0)).otherwise(
         (n_bigrams - F.size(F.array_distinct(bigrams))) / n_bigrams
     )
@@ -163,12 +165,7 @@ def repetition_stats(
     top_cnt = F.array_max(F.zip_with(ends, starts, lambda e, s: e - s))
 
     n_g = F.greatest(n_words - F.lit(ngram_n - 1), F.lit(0))
-    grams = F.when(n_g < 1, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), n_g),
-            lambda i: F.array_join(F.slice(words, i, ngram_n), " "),
-        )
-    )
+    grams = sliding_ngrams(words, ngram_n)  # linear; see word_shingles
     dup_frac = F.when(n_g < 1, F.lit(0.0)).otherwise(
         (n_g - F.size(F.array_distinct(grams))).cast("double") / n_g
     )
@@ -214,13 +211,7 @@ def ngram_repetition_stats(
     )
 
     def grams_of(n: int):
-        cnt = F.greatest(n_words - F.lit(n - 1), F.lit(0))
-        return F.when(cnt < 1, F.array().cast("array<string>")).otherwise(
-            F.transform(
-                F.sequence(F.lit(1), cnt),
-                lambda i: F.array_join(F.slice(words, i, n), " "),
-            )
-        )
+        return sliding_ngrams(words, n)  # linear; see word_shingles
 
     # --- top_n: most frequent gram via sorted runs ---------------------
     g_top = grams_of(top_n)
@@ -422,13 +413,7 @@ def _contamination_gram_table(
     n-grams, exploded. Shared by the contamination family so the flag,
     attribution, and removal passes agree on gram semantics."""
     words = words_col(F.lower(F.col(text_col)))
-    n_g = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
-    grams = F.when(n_g < 1, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), n_g),
-            lambda i: F.array_join(F.slice(words, i, n), " "),
-        )
-    )
+    grams = sliding_ngrams(words, n)  # linear; see word_shingles
     g = df.select(
         F.col(id_col).alias(out_id),
         F.explode(F.array_distinct(grams)).alias("gram"),

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from webcrawler_spark.operators.textstats import fingerprint
+from webcrawler_spark.operators.textstats import fingerprint, sliding_ngrams
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -64,18 +64,11 @@ def drop_exact_duplicates(
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """Word n-grams as an array<string> (space-joined), deduplicated."""
-    words = F.split(text, " ")
-    count = F.size(words) - F.lit(n - 1)
-    # sequence(1, 0) DESCENDS in Spark — guard short texts explicitly
-    return F.when(count < 1, F.array().cast("array<string>")).otherwise(
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), count),
-                lambda i: F.array_join(F.slice(words, i, n), " "),
-            )
-        )
-    )
+    """Word n-grams as an array<string> (space-joined), deduplicated.
+    Linear-time construction (textstats.sliding_ngrams) — the naive
+    slice-per-gram form is O(len²) per document and collapsed the
+    minhash signature stage on 4k-word crawl pages."""
+    return F.array_distinct(sliding_ngrams(F.split(text, " "), n))
 
 
 def explode_shingles(

@@ -42,6 +42,34 @@ def words_col(text: Column) -> Column:
     return F.split(text, " ")
 
 
+def sliding_ngrams(words: Column, n: int) -> Column:
+    """Positional word n-grams (space-joined), length size(words)-n+1,
+    in O(size · n) per row.
+
+    The naive ``transform(sequence(1, cnt), i -> array_join(slice(
+    words, i, n)))`` is O(size²): Catalyst's Slice copies per element,
+    so every gram pays a fresh array copy — invisible on the 60-word
+    sf docs, measured PATHOLOGICAL on 4k-word crawl pages (round-4
+    scale-stress: gopher/minhash stages went from minutes to >25 min
+    at 126k such docs). This builds n-1 shifted views (each ONE O(size)
+    slice) and zips them: ``zip_with`` pads the shorter side with null
+    and ``concat_ws`` skips nulls, so the ragged tail is trimmed by a
+    single final slice. Output SEQUENCE is byte-identical to the naive
+    form (same grams, same order — array_distinct keeps first
+    occurrence, so distinct callers are unaffected too); short/empty
+    input yields []."""
+    count = F.size(words) - F.lit(n - 1)
+    g = words
+    for k in range(1, n):
+        shifted = F.slice(
+            words, k + 1, F.greatest(F.size(words) - k, F.lit(0))
+        )
+        g = F.zip_with(g, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    return F.when(count < 1, F.array().cast("array<string>")).otherwise(
+        F.slice(g, 1, count)
+    )
+
+
 def token_count(text: Column) -> Column:
     """Whitespace token count (single-space-normalized corpora)."""
     return F.size(words_col(text))
