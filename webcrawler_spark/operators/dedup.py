@@ -74,9 +74,22 @@ def word_shingles(text: Column, n: int = 3) -> Column:
 def explode_shingles(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
-    return df.select(
+    """(id, shingle) rows — the hot corpus path every LSH/Jaccard tier
+    starts from. Gram construction goes through ml.feature.NGram: all
+    of Spark's higher-order array lambdas (transform/zip_with) are
+    CodegenFallback — interpreted per ELEMENT, measured ~3 µs/gram —
+    while NGram is one compiled Scala closure per row (round-4
+    scale-stress: the 126k×4.2k-word signature stage dropped ~5×).
+    Output shingle SET is identical to word_shingles (same " " join,
+    same <n-word → zero rows), so every oracle is unaffected."""
+    from pyspark.ml.feature import NGram
+
+    grams = NGram(n=n, inputCol="__w", outputCol="__sh").transform(
+        df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__w"))
+    )
+    return grams.select(
         F.col(id_col),
-        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+        F.explode(F.array_distinct("__sh")).alias("shingle"),
     )
 
 
