@@ -201,11 +201,20 @@ def main() -> None:
         .groupBy("dig")
         .agg(F.min("doc_id"))
         .count(),
+        # 1-row bands (the oracle tier) admit ~bands·J background
+        # candidates — measured 4.5M junk pairs at this corpus (J
+        # ~2e-4 between unrelated diverse-vocab docs), whose verify
+        # join dwarfs the real work. rows_per_band=3 is the production
+        # S-curve setting: background collision J³≈1e-11, true dups
+        # J≈1 still certain.
         "minhash_lsh_candidates": lambda: lsh_candidate_pairs(
             docs.select("doc_id", "text")
         ).count(),
+        "minhash_lsh_candidates_r3": lambda: lsh_candidate_pairs(
+            docs.select("doc_id", "text"), rows_per_band=3
+        ).count(),
         "near_dup_pipeline": lambda: near_duplicate_pairs(
-            docs.select("doc_id", "text"), threshold=0.5
+            docs.select("doc_id", "text"), threshold=0.5, rows_per_band=3
         ).count(),
         "duplicate_clusters": lambda: duplicate_clusters(
             docs.select("doc_id", "text"), threshold=0.5

@@ -644,3 +644,46 @@ def test_keep_best_per_cluster_no_window_in_plan(spark):
     )
     assert "Window" not in plan
     assert "partial_max_by" in plan.lower() or "partial" in plan.lower()
+
+
+def test_lsh_rows_per_band_subset_law(spark):
+    """Multi-row bands (the scale tier) emit a SUBSET of the 1-row
+    tier's candidates — collision needs every row-minhash to agree —
+    and near-identical planted pairs survive both tiers."""
+    from pyspark.sql import functions as F
+
+    from webcrawler_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        near_duplicate_pairs,
+    )
+
+    base = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[
+                F.concat(F.lit(f"w{k}x"), (F.col("id") * 31 + k) % 97)
+                for k in range(30)
+            ],
+        ).alias("text"),
+    )
+    dup = base.where("doc_id % 8 = 0").select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.concat("text", F.lit(" tailword")).alias("text"),
+    )
+    docs = base.unionByName(dup)
+    loose = {(r["a"], r["b"]) for r in lsh_candidate_pairs(docs).collect()}
+    strict = {
+        (r["a"], r["b"])
+        for r in lsh_candidate_pairs(docs, rows_per_band=3).collect()
+    }
+    assert strict <= loose
+    planted = {(i, i + 1000) for i in range(0, 40, 8)}
+    assert planted <= strict  # J=(n-2)/(n-1)≈0.97 → J³≈0.9/band
+    pairs = {
+        (r["a"], r["b"])
+        for r in near_duplicate_pairs(
+            docs, threshold=0.8, rows_per_band=3
+        ).collect()
+    }
+    assert planted <= pairs

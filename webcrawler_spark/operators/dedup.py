@@ -104,18 +104,45 @@ def minhash_signatures(
     text_col: str = "text",
     n: int = 3,
     bands: int = 4,
+    rows_per_band: int = 1,
 ) -> DataFrame:
-    """One row per (doc, band): band_min = min over shingles of
-    md5(band || '|' || shingle).
+    """One row per (doc, band): band_min = the concatenation of
+    ``rows_per_band`` minhashes, each min over shingles of
+    md5(band.row || '|' || shingle).
 
-    The md5-with-salt family is shared verbatim by the DuckDB oracle.
-    One shuffle: the per-doc aggregate.
-    """
+    The md5-with-salt family is shared verbatim by the DuckDB oracle
+    (which replays the default ``rows_per_band=1``). One shuffle: the
+    per-doc aggregate.
+
+    ``rows_per_band`` is the LSH S-curve knob (Broder/MMDS banding):
+    a band collides with probability J^rows_per_band, so 1-row bands
+    admit ~bands·J false candidates — measured at the round-4 scale
+    stress: 126k crawl docs at J≈2·10⁻⁴ background similarity yielded
+    4.5M junk candidate pairs whose Jaccard-verify join would dwarf
+    the real work. At corpus scale run 2-3 rows per band (J³ kills
+    the background while J≈1 true dups still collide); the oracle
+    tier keeps 1 for replayability, and the two tiers are
+    row-identical on every pair the stricter one emits (subset law,
+    tested)."""
     sh = explode_shingles(df, id_col, text_col, n)
     mins = [
-        F.min(F.md5(F.concat(F.lit(str(b)), F.lit("|"), F.col("shingle")))).alias(
-            f"band{b}"
-        )
+        F.concat_ws(
+            "|",
+            *[
+                F.min(
+                    F.md5(
+                        F.concat(
+                            F.lit(
+                                str(b) if rows_per_band == 1 else f"{b}.{r}"
+                            ),
+                            F.lit("|"),
+                            F.col("shingle"),
+                        )
+                    )
+                )
+                for r in range(rows_per_band)
+            ],
+        ).alias(f"band{b}")
         for b in range(bands)
     ]
     sig = sh.groupBy(id_col).agg(*mins)
@@ -131,13 +158,15 @@ def lsh_candidate_pairs(
     text_col: str = "text",
     n: int = 3,
     bands: int = 4,
+    rows_per_band: int = 1,
 ) -> DataFrame:
     """Distinct (a, b) with a < b sharing ≥1 MinHash band bucket.
 
     The join key is (band_id, band_min): Jaccard-similar docs collide
     with high probability; the full doc×doc cross join never exists.
+    ``rows_per_band`` — see minhash_signatures (the scale knob).
     """
-    sig = minhash_signatures(df, id_col, text_col, n, bands)
+    sig = minhash_signatures(df, id_col, text_col, n, bands, rows_per_band)
     left = sig.select(
         F.col(id_col).alias("a"), "band_id", "band_min"
     )
@@ -257,6 +286,7 @@ def near_duplicate_pairs(
     n: int = 3,
     bands: int = 4,
     threshold: float = 0.5,
+    rows_per_band: int = 1,
 ) -> DataFrame:
     """Composed dedup pipeline: LSH candidates → exact Jaccard verify.
 
@@ -272,7 +302,7 @@ def near_duplicate_pairs(
     Output matches ``jaccard_pairs`` restricted to the LSH candidate
     set: (a, b, jaccard) with jaccard ≥ threshold.
     """
-    cand = lsh_candidate_pairs(df, id_col, text_col, n, bands)
+    cand = lsh_candidate_pairs(df, id_col, text_col, n, bands, rows_per_band)
     sh = explode_shingles(df, id_col, text_col, n)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     inter = (
