@@ -59,10 +59,14 @@ def test_interface_matches_parquet_catalog():
 # ---------------------------------------------------------------------
 def _mock_cat(exists: bool = True, snapshot_rows=None):
     spark = MagicMock(name="spark")
+    # construction probes crawl_rounds to seed _known (restart
+    # recovery); start with no tables so the probe is a no-op, then
+    # flip to the test's desired existence state
+    spark.catalog.tableExists.return_value = False
+    cat = IcebergCatalog(spark, PREFIX)
     spark.catalog.tableExists.return_value = exists
     if snapshot_rows is not None:
         spark.sql.return_value.collect.side_effect = snapshot_rows
-    cat = IcebergCatalog(spark, PREFIX)
     spark.sql.assert_any_call("CREATE NAMESPACE IF NOT EXISTS local.crawl")
     return spark, cat
 
@@ -190,21 +194,93 @@ def test_compact_calls_rewrite_data_files():
 
 
 def test_gc_expires_snapshots_and_prunes_checkpoints():
+    import datetime
+
     spark, cat = _mock_cat(exists=True)
     cat._known.add("seen")
     rows = [
-        Row(round=r, ts=float(r), state="{}", snapshots="{}")
+        Row(
+            round=r,
+            ts=float(r),
+            state="{}",
+            snapshots=json.dumps({"seen": 40 + r}),
+        )
         for r in range(1, 5)
     ]
     _rounds_table(spark, rows)
+    spark.sql.return_value.collect.return_value = [
+        Row(ts=datetime.datetime(2026, 1, 3, 0, 0, 0))
+    ]
     out = cat.gc(keep_rounds=2)
     assert out["pruned_rounds"] == 2
     spark.sql.assert_any_call(
         "DELETE FROM local.crawl.crawl_rounds WHERE round < 3"
     )
+    # the min(committed_at) probe must cover exactly the snapshot ids
+    # pinned by RETAINED rounds (43, 44) — not the pruned ones
+    sql_calls = [c.args[0] for c in spark.sql.call_args_list]
+    probes = [s for s in sql_calls if "min(committed_at)" in s]
+    assert len(probes) == 1
+    assert "(43, 44)" in probes[0] and "41" not in probes[0]
+    # expiry is by the oldest referenced snapshot's commit time, NOT
+    # retain_last => keep_rounds (which counts snapshots, not rounds,
+    # and would drop pins when a round commits >1 snapshot per table)
     spark.sql.assert_any_call(
         "CALL local.system.expire_snapshots"
-        "(table => 'local.crawl.seen', retain_last => 2)"
+        "(table => 'local.crawl.seen',"
+        " older_than => TIMESTAMP '2026-01-03 00:00:00',"
+        " retain_last => 1)"
+    )
+
+
+def test_init_seeds_known_from_latest_checkpoint():
+    """Restart recovery: _known reseeds from the newest crawl_rounds
+    row so the first commit_round after a restart re-pins untouched
+    tables instead of silently dropping them (ADVICE r4)."""
+    spark = MagicMock(name="spark")
+    spark.catalog.tableExists.return_value = True
+    _rounds_table(
+        spark,
+        [
+            Row(
+                round=5,
+                ts=1.0,
+                state="{}",
+                snapshots='{"seen": 9, "frontier": 11}',
+            )
+        ],
+    )
+    cat = IcebergCatalog(spark, PREFIX)
+    assert cat._known == {"seen", "frontier"}
+
+
+def test_read_under_as_of_missing_pin_returns_none():
+    """A table with no snapshot pin in the as-of checkpoint row did
+    not exist in that era: read() must return None (ParquetCatalog
+    parity), never fall through to the current table head."""
+    spark = MagicMock(name="spark")
+    spark.catalog.tableExists.return_value = True
+    _rounds_table(
+        spark,
+        [Row(round=3, ts=1.0, state="{}", snapshots='{"seen": 42}')],
+    )
+    cat = IcebergCatalog(spark, PREFIX, as_of_round=3)
+    assert cat.read("pages") is None
+    assert cat.read("seen") is not None
+    spark.read.option.assert_called_once_with("snapshot-id", 42)
+
+
+def test_snapshot_id_reads_main_branch_ref():
+    """Current snapshot comes from the refs metadata table (the main
+    branch head) — strictly monotone, immune to committed_at ties
+    between a rapid append and compact (ADVICE r4)."""
+    spark, cat = _mock_cat(
+        exists=True, snapshot_rows=[[Row(snapshot_id=99)]]
+    )
+    assert cat._snapshot_id("seen") == 99
+    spark.sql.assert_any_call(
+        "SELECT snapshot_id FROM local.crawl.seen.refs"
+        " WHERE name = 'main' AND type = 'BRANCH'"
     )
 
 

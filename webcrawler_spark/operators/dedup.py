@@ -122,8 +122,10 @@ def minhash_signatures(
     the real work. At corpus scale run 2-3 rows per band (J³ kills
     the background while J≈1 true dups still collide); the oracle
     tier keeps 1 for replayability, and the two tiers are
-    row-identical on every pair the stricter one emits (subset law,
-    tested)."""
+    row-identical on every pair the stricter one emits (subset law —
+    guaranteed by construction, because row 0 of every band reuses the
+    1-row tier's salt, so a strict collision implies the loose band
+    collides; tested)."""
     sh = explode_shingles(df, id_col, text_col, n)
     mins = [
         F.concat_ws(
@@ -132,9 +134,13 @@ def minhash_signatures(
                 F.min(
                     F.md5(
                         F.concat(
-                            F.lit(
-                                str(b) if rows_per_band == 1 else f"{b}.{r}"
-                            ),
+                            # row 0 keeps the 1-row tier's salt str(b), so
+                            # the strict family is a true SUPERSET of the
+                            # loose one: a strict band collision forces
+                            # agreement on the row-0 minhash, which IS the
+                            # loose band_min — subset law holds by
+                            # construction, not just on fixtures
+                            F.lit(str(b) if r == 0 else f"{b}.{r}"),
                             F.lit("|"),
                             F.col("shingle"),
                         )

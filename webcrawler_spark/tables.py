@@ -440,6 +440,15 @@ class IcebergCatalog:
         spark.sql(
             f"CREATE NAMESPACE IF NOT EXISTS {self.catalog_name}.{ns}"
         )
+        # Seed _known from the (as-of) checkpoint row, mirroring
+        # ParquetCatalog's _dirs reseed: without this, the first
+        # commit_round after a process restart would record snapshot
+        # ids only for tables written since restart, silently dropping
+        # pins for untouched tables (their heads are unchanged, so
+        # re-recording the current snapshot id is exactly right).
+        row = self._round_row(self._as_of)
+        if row is not None:
+            self._known.update(row["tables"])
 
     def _fqn(self, name: str) -> str:
         return f"{self.prefix}.{name}"
@@ -448,9 +457,15 @@ class IcebergCatalog:
         return self.spark.catalog.tableExists(self._fqn(name))
 
     def _snapshot_id(self, name: str) -> Optional[int]:
+        # The main branch ref IS the current snapshot — strictly
+        # correct even when two snapshots commit in the same
+        # committed_at tick (rapid append then compact), where an
+        # ORDER BY committed_at DESC LIMIT 1 over the snapshots
+        # metadata table could pick the wrong one and corrupt
+        # append_delta's start/end window.
         rows = self.spark.sql(
-            f"SELECT snapshot_id FROM {self._fqn(name)}.snapshots"
-            " ORDER BY committed_at DESC LIMIT 1"
+            f"SELECT snapshot_id FROM {self._fqn(name)}.refs"
+            " WHERE name = 'main' AND type = 'BRANCH'"
         ).collect()
         return int(rows[0][0]) if rows else None
 
@@ -482,10 +497,15 @@ class IcebergCatalog:
         if self._as_of is not None:
             row = self._round_row(self._as_of)
             sid = (row or {"tables": {}})["tables"].get(name)
-            if sid is not None:
-                return self.spark.read.option(
-                    "snapshot-id", sid
-                ).table(self._fqn(name))
+            if sid is None:
+                # ParquetCatalog parity: a table with no pin in the
+                # as-of checkpoint row did not exist in that era —
+                # falling through to the CURRENT head would silently
+                # return wrong-era data
+                return None
+            return self.spark.read.option(
+                "snapshot-id", sid
+            ).table(self._fqn(name))
         return self.spark.table(self._fqn(name))
 
     def overwrite(self, name: str, df: DataFrame) -> DataFrame:
@@ -594,23 +614,58 @@ class IcebergCatalog:
 
     def gc(self, keep_rounds: int = 8) -> dict:
         """Iceberg-native retention: drop crawl_rounds rows older than
-        the newest ``keep_rounds`` and expire snapshots older than the
-        oldest retained checkpoint per table."""
+        the newest ``keep_rounds`` and expire, per table, only
+        snapshots strictly older than the OLDEST snapshot still
+        referenced by a retained checkpoint row.
+
+        Why not ``retain_last => keep_rounds``: retain_last counts
+        Iceberg *snapshots*, not checkpoint *rounds*.  Any round that
+        produces more than one snapshot per table (append + compact
+        via rewrite_data_files, or multiple appends) would expire
+        snapshots still pinned by retained crawl_rounds rows, breaking
+        the "time travel keeps working for every retained round"
+        guarantee ParquetCatalog.gc preserves."""
         if keep_rounds < 1:
             raise ValueError("keep_rounds must be >= 1")
-        rounds = self.snapshots()
-        if len(rounds) <= keep_rounds:
+        if not self._exists("crawl_rounds"):
             return {"pruned_rounds": 0, "deleted_dirs": 0}
-        cutoff = rounds[-keep_rounds]["round"]
+        rows = self.spark.table(self._rounds_fqn).orderBy("round").collect()
+        if len(rows) <= keep_rounds:
+            return {"pruned_rounds": 0, "deleted_dirs": 0}
+        kept = rows[-keep_rounds:]
+        cutoff = int(kept[0]["round"])
         self.spark.sql(
             f"DELETE FROM {self._rounds_fqn} WHERE round < {cutoff}"
         )
+        referenced: dict[str, set[int]] = {}
+        for r in kept:
+            for t, sid in json.loads(r["snapshots"]).items():
+                if sid is not None:
+                    referenced.setdefault(t, set()).add(int(sid))
         with self._lock:
             known = sorted(self._known)
         for t in known:
-            if self._exists(t):
-                self.spark.sql(
-                    f"CALL {self.catalog_name}.system.expire_snapshots"
-                    f"(table => '{self._fqn(t)}', retain_last => {keep_rounds})"
-                )
-        return {"pruned_rounds": len(rounds) - keep_rounds, "deleted_dirs": -1}
+            sids = referenced.get(t)
+            if not sids or not self._exists(t):
+                # never checkpointed (or dropped): expiring by count
+                # could drop live data — leave the table alone
+                continue
+            ts_rows = self.spark.sql(
+                f"SELECT min(committed_at) AS ts"
+                f" FROM {self._fqn(t)}.snapshots"
+                f" WHERE snapshot_id IN"
+                f" ({', '.join(str(s) for s in sorted(sids))})"
+            ).collect()
+            oldest = ts_rows[0]["ts"] if ts_rows else None
+            if oldest is None:
+                continue
+            # expireOlderThan is exclusive, so every referenced
+            # snapshot (committed_at >= oldest) survives;
+            # retain_last => 1 is Iceberg's mandatory safety floor
+            self.spark.sql(
+                f"CALL {self.catalog_name}.system.expire_snapshots"
+                f"(table => '{self._fqn(t)}',"
+                f" older_than => TIMESTAMP '{oldest}',"
+                f" retain_last => 1)"
+            )
+        return {"pruned_rounds": len(rows) - keep_rounds, "deleted_dirs": -1}
