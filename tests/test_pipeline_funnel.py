@@ -48,6 +48,28 @@ def test_packing_accounting(row):
         assert row["n_bpe_tokens"] >= row["n_chunks"]
 
 
+def test_quality_tier_parity_on_cut_boundary(spark, row):
+    """The approx (scale) tier replaces stage 7's count() + global
+    top-k with an approx-quantile threshold filter. Parity law on the
+    cut boundary: the approx survivor set is a SUPERSET of the exact
+    one (ties at the threshold all survive instead of being split by
+    doc_id), every downstream count is therefore >= its exact twin,
+    and the stage-7 keep fraction stays ~2/3."""
+    approx = e._q_pipeline_funnel(spark, SF, quality_tier="approx").first()
+    # stages 1-6 are tier-independent: identical counts
+    for c in ["n_raw", "n_c4", "n_gopher", "n_exact", "n_neardup",
+              "n_decontam", "n_lang"]:
+        assert approx[c] == row[c], c
+    # stage 7+: approx keeps every exact survivor plus threshold ties
+    assert approx["n_quality"] >= row["n_quality"]
+    # and the cut is still a cut, not a pass-through
+    assert approx["n_quality"] <= approx["n_lang"]
+    if row["n_lang"] >= 3:
+        assert approx["n_quality"] < approx["n_lang"] or row[
+            "n_quality"
+        ] == row["n_lang"]
+
+
 def test_oracle_matches_at_sf0001(spark, row):
     import duckdb
 
