@@ -646,6 +646,73 @@ def test_keep_best_per_cluster_no_window_in_plan(spark):
     assert "partial_max_by" in plan.lower() or "partial" in plan.lower()
 
 
+def test_arrow_signature_tier_parity(spark):
+    """The zero-shuffle Arrow signature tier (one mapInPandas pass,
+    affine lanes over a single siphash base — no 5·10⁸-row explode)
+    must agree with the md5/oracle tier where it matters: the composed
+    near_duplicate_pairs output (candidates are Jaccard-verified either
+    way) and the rows-per-band subset law within the tier."""
+    from pyspark.sql import functions as F
+
+    from webcrawler_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures_arrow,
+        near_duplicate_pairs,
+    )
+
+    base = spark.range(60).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[
+                F.concat(F.lit(f"w{k}x"), (F.col("id") * 37 + k) % 101)
+                for k in range(25)
+            ],
+        ).alias("text"),
+    )
+    dup = base.where("doc_id % 6 = 0").select(
+        (F.col("doc_id") + 5000).alias("doc_id"),
+        F.concat("text", F.lit(" tailword")).alias("text"),
+    )
+    docs = base.unionByName(dup)
+
+    exact_nd = {
+        (r["a"], r["b"], r["jaccard"])
+        for r in near_duplicate_pairs(docs, threshold=0.8).collect()
+    }
+    arrow_nd = {
+        (r["a"], r["b"], r["jaccard"])
+        for r in near_duplicate_pairs(
+            docs, threshold=0.8, signature_tier="arrow"
+        ).collect()
+    }
+    planted = {(i, i + 5000) for i in range(0, 60, 6)}
+    assert planted <= {(a, b) for a, b, _ in arrow_nd}
+    assert arrow_nd == exact_nd  # deterministic on this fixture
+
+    # schema + per-doc row shape matches the exact tier
+    sig = minhash_signatures_arrow(docs)
+    assert sig.columns == ["doc_id", "band_id", "band_min"]
+    per_doc = sig.groupBy("doc_id").count().select("count").distinct().collect()
+    assert [r["count"] for r in per_doc] == [4]
+
+    # subset law inside the arrow tier (shared r=0 lane constants)
+    loose = {
+        (r["a"], r["b"])
+        for r in lsh_candidate_pairs(
+            docs, signature_tier="arrow"
+        ).collect()
+    }
+    strict = {
+        (r["a"], r["b"])
+        for r in lsh_candidate_pairs(
+            docs, rows_per_band=3, signature_tier="arrow"
+        ).collect()
+    }
+    assert strict <= loose
+    assert planted <= strict
+
+
 def test_lsh_rows_per_band_subset_law(spark):
     """Multi-row bands (the scale tier) emit a SUBSET of the 1-row
     tier's candidates — collision needs every row-minhash to agree —

@@ -141,6 +141,27 @@ class CrawlConfig:
     url_blocklist: Optional[list] = None
     url_word_weights: Optional[dict] = None
     url_word_threshold: float = 1.0
+    # W2 generalized — importance-aware host scheduling (opt-in;
+    # default "fifo" preserves reference-ordering parity byte-for-byte,
+    # Worker.py:49/227-228 has no importance signal). When a round is
+    # host-limited (hosts_per_round), the W1 host order becomes
+    # (rank_score DESC, priority, host):
+    #   "pagerank" | "opic" — every priority_refresh_rounds rounds the
+    #     engine rebuilds a (host, rank_score) table by running the
+    #     public algorithm over the ACCUMULATED crawled link graph
+    #     (pages_fetched src-host → link-host edges, operators/graph);
+    #   "recrawl" — Cho–Garcia-Molina staleness (operators/recrawl):
+    #     hosts whose pages are oldest/most-changed rank first.
+    # Hosts absent from the rank table (not yet linked-to) sort after
+    # every ranked host, FIFO among themselves. Scale note: refresh
+    # cost is one scan of pages_fetched's links every k rounds; at
+    # 10^10 pages a deployment appends a per-round host-edge delta
+    # table instead and ranks over that (same operators, incremental
+    # input) — the rank loop itself is the bucketed per-iteration
+    # shuffle audited in operators/graph.
+    priority_mode: str = "fifo"
+    priority_refresh_rounds: int = 4
+    priority_rank_iters: int = 5
     collect_metrics: bool = True         # S7 per-round metrics table
     agent: str = "*"                     # Host.py:9
     # W4 executor: "native" = window-arithmetic virtual clock (codegen,
@@ -299,6 +320,12 @@ class CrawlEngine:
         )
         self._robots_side = None  # materialized lazily, once per session
         self._robots_side_thread = None  # background materialization (init overlap)
+        # priority_mode rank table: derived state, recomputed every
+        # priority_refresh_rounds (and from scratch after a resume —
+        # it is a pure function of the committed pages_fetched table,
+        # so it is deliberately NOT checkpointed)
+        self._rank_df: Optional[DataFrame] = None
+        self._rank_round: int = -(10**9)
 
     # ------------------------------------------------------------------
     # setup / resume
@@ -725,6 +752,69 @@ class CrawlEngine:
             .select("host")
         )
 
+    def _refresh_host_ranks(self) -> None:
+        """Rebuild the (host, rank_score) table for priority_mode from
+        the accumulated crawl, at most once per priority_refresh_rounds.
+        The table is localCheckpoint-truncated (reused by every round's
+        W1 window until the next refresh) and host-granular — bounded
+        by the host universe, never by URL count."""
+        cfg, st = self.cfg, self.state
+        if (
+            self._rank_df is not None
+            and st.round - self._rank_round < cfg.priority_refresh_rounds
+        ):
+            return
+        pages = self.cat.read("pages_fetched")
+        if pages is None:
+            return  # nothing crawled yet: FIFO fallback until round 1+
+        from webcrawler_spark.functions.urltools import host_col
+
+        if cfg.priority_mode in ("pagerank", "opic"):
+            edges = (
+                pages.select(
+                    F.col("host").alias("src"),
+                    F.explode("links").alias("_l"),
+                )
+                .select("src", host_col(F.col("_l")).alias("dst"))
+                .where((F.col("dst") != "") & (F.col("src") != F.col("dst")))
+            )
+            if cfg.priority_mode == "pagerank":
+                from webcrawler_spark.operators.graph import pagerank
+
+                rank = pagerank(edges, n_iter=cfg.priority_rank_iters).select(
+                    F.col("node").alias("host"),
+                    F.col("rank").alias("rank_score"),
+                )
+            else:
+                from webcrawler_spark.operators.graph import opic
+
+                rank = opic(edges, n_iter=cfg.priority_rank_iters).select(
+                    F.col("node").alias("host"),
+                    F.col("importance").alias("rank_score"),
+                )
+        elif cfg.priority_mode == "recrawl":
+            from webcrawler_spark.operators.recrawl import recrawl_priority
+
+            hist = pages.select(
+                "url", "round", F.md5("text").alias("digest")
+            )
+            pri = recrawl_priority(hist, now_round=st.round)
+            rank = (
+                pages.select("url", "host")
+                .join(pri, "url")
+                .groupBy("host")
+                .agg(F.avg("p_stale").alias("rank_score"))
+            )
+        else:
+            raise ValueError(
+                f"unknown priority_mode {cfg.priority_mode!r}"
+                " (expected fifo | pagerank | opic | recrawl)"
+            )
+        old = self._rank_df
+        self._rank_df = checkpoint(rank)
+        free(old)
+        self._rank_round = st.round
+
     def _robots_for_new_hosts(self, frontier: DataFrame, host_state: DataFrame) -> DataFrame:
         new_hosts = (
             frontier.select("host")
@@ -900,16 +990,29 @@ class CrawlEngine:
         cand = cand.filter(F.col("rn_host") <= budget)
 
         if cfg.hosts_per_round is not None:
-            # W1 strict host rank — only used in parity mode (global
-            # sort of the distinct-host set; skipped in scale mode)
+            # W1 strict host rank — only used in host-limited mode
+            # (global sort of the distinct-host set; skipped in scale
+            # mode). Under priority_mode != "fifo" the order becomes
+            # (rank_score DESC, priority, host): importance-aware
+            # crawling, high-rank hosts scheduled first.
+            host_set = cand.select("host", "priority").distinct()
+            order = [F.col("priority"), F.col("host")]
+            if cfg.priority_mode != "fifo":
+                self._refresh_host_ranks()
+                if self._rank_df is not None:
+                    host_set = self._wave_join(
+                        host_set, self._rank_df, "host", "left",
+                        st.total_hosts,
+                    ).withColumn(
+                        "rank_score",
+                        F.coalesce("rank_score", F.lit(-1.0)),
+                    )
+                    order = [F.desc("rank_score")] + order
             hosts_ranked = (
-                cand.select("host", "priority")
-                .distinct()
+                host_set
                 .withColumn(
                     "host_rank",
-                    F.row_number().over(
-                        Window.orderBy(F.col("priority"), F.col("host"))
-                    ),
+                    F.row_number().over(Window.orderBy(*order)),
                 )
                 .filter(F.col("host_rank") <= cfg.hosts_per_round)
             )

@@ -158,7 +158,28 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
+def _splitmix64(x: int) -> int:
+    """Deterministic 64-bit mix (Steele/Lea/Flood splitmix64, public
+    domain) — derives the per-lane affine constants below without any
+    runtime RNG state."""
+    x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return x ^ (x >> 31)
+
+
+def _lane_consts(b: int, r: int) -> tuple[int, int]:
+    """(multiplier, offset) for band ``b`` row ``r``. Keyed so the r=0
+    lane is identical for every rows_per_band — the subset law (strict
+    collision ⇒ loose collision) holds in this tier by construction,
+    same as the md5 tier's shared row-0 salt."""
+    key = (b << 20) | r
+    a = _splitmix64(key * 2 + 1) | 1  # odd ⇒ bijective mod 2^64
+    c = _splitmix64(key * 2 + 2)
+    return a, c
+
+
+def minhash_signatures_arrow(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -166,13 +187,100 @@ def lsh_candidate_pairs(
     bands: int = 4,
     rows_per_band: int = 1,
 ) -> DataFrame:
+    """SCALE tier of :func:`minhash_signatures`: identical output
+    shape (one (doc, band_id, band_min) row per band), computed in ONE
+    Arrow ``mapInPandas`` pass with ZERO shuffle.
+
+    Why it exists (round-4 scale stress): the md5/oracle tier explodes
+    every shingle (~5·10⁸ rows on the 126k-doc crawl corpus) and runs
+    ``bands`` md5 minimums through a corpus-wide hash aggregate —
+    correct, map-side-combined, but the single most expensive stage in
+    the system (145.7 s for candidates on that corpus). Here each task
+    computes its partitions' signatures in-row: vectorized shingle
+    construction + ONE siphash per distinct shingle
+    (``pandas.util.hash_array``, Cython, deterministic fixed key) and
+    ``bands × rows_per_band`` affine lanes h(s) = a·x + c (mod 2⁶⁴)
+    over that base hash — the classic one-hash-many-permutations
+    MinHash (Broder 1997). Nothing leaves the task but the tiny
+    signature rows.
+
+    The hash family necessarily differs from the DuckDB-replayable md5
+    family, so this tier is NOT the oracle tier; the composed
+    ``near_duplicate_pairs`` output is parity-tested against the exact
+    tier (candidates are verified by exact Jaccard either way, so tier
+    choice only moves the recall knee, and planted near-dups collide
+    under both)."""
+    import numpy as np
+    import pandas as pd
+    from pandas.util import hash_array
+
+    consts = [
+        _lane_consts(b, r) for b in range(bands) for r in range(rows_per_band)
+    ]
+    a_vec = np.array([a for a, _ in consts], dtype=np.uint64)
+    c_vec = np.array([c for _, c in consts], dtype=np.uint64)
+    id_field = df.schema[id_col]
+
+    def gen(batches):
+        for pdf in batches:
+            ids, bids, mins = [], [], []
+            for i, txt in zip(pdf[id_col].values, pdf[text_col].values):
+                if txt is None:
+                    continue
+                words = txt.split(" ")
+                if len(words) < n:
+                    continue
+                shingles = {
+                    " ".join(words[j : j + n])
+                    for j in range(len(words) - n + 1)
+                }
+                base = hash_array(
+                    np.array(list(shingles), dtype=object)
+                ).astype(np.uint64)
+                # lanes: (k, n_shingles) affine images, wrap mod 2^64
+                lanes = (
+                    base[None, :] * a_vec[:, None] + c_vec[:, None]
+                ).min(axis=1)
+                for b in range(bands):
+                    row = lanes[b * rows_per_band : (b + 1) * rows_per_band]
+                    ids.append(i)
+                    bids.append(str(b))
+                    mins.append("|".join(format(int(v), "016x") for v in row))
+            yield pd.DataFrame(
+                {id_col: ids, "band_id": bids, "band_min": mins}
+            )
+
+    out_schema = (
+        f"{id_col} {id_field.dataType.simpleString()},"
+        " band_id string, band_min string"
+    )
+    return df.select(id_col, text_col).mapInPandas(gen, out_schema)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 1,
+    signature_tier: str = "exact",
+) -> DataFrame:
     """Distinct (a, b) with a < b sharing ≥1 MinHash band bucket.
 
     The join key is (band_id, band_min): Jaccard-similar docs collide
     with high probability; the full doc×doc cross join never exists.
-    ``rows_per_band`` — see minhash_signatures (the scale knob).
+    ``rows_per_band`` — see minhash_signatures (the S-curve knob).
+    ``signature_tier`` — "exact" (md5 family, DuckDB-replayable) or
+    "arrow" (one zero-shuffle Arrow pass; see
+    :func:`minhash_signatures_arrow`).
     """
-    sig = minhash_signatures(df, id_col, text_col, n, bands, rows_per_band)
+    sigfn = (
+        minhash_signatures_arrow
+        if signature_tier == "arrow"
+        else minhash_signatures
+    )
+    sig = sigfn(df, id_col, text_col, n, bands, rows_per_band)
     left = sig.select(
         F.col(id_col).alias("a"), "band_id", "band_min"
     )
@@ -293,6 +401,7 @@ def near_duplicate_pairs(
     bands: int = 4,
     threshold: float = 0.5,
     rows_per_band: int = 1,
+    signature_tier: str = "exact",
 ) -> DataFrame:
     """Composed dedup pipeline: LSH candidates → exact Jaccard verify.
 
@@ -308,7 +417,9 @@ def near_duplicate_pairs(
     Output matches ``jaccard_pairs`` restricted to the LSH candidate
     set: (a, b, jaccard) with jaccard ≥ threshold.
     """
-    cand = lsh_candidate_pairs(df, id_col, text_col, n, bands, rows_per_band)
+    cand = lsh_candidate_pairs(
+        df, id_col, text_col, n, bands, rows_per_band, signature_tier
+    )
     sh = explode_shingles(df, id_col, text_col, n)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     inter = (
