@@ -676,6 +676,69 @@ def _q_image_dhash_png(spark, sf):
     return dhash_near_pairs(media)
 
 
+def _q_image_dhash_jpeg(spark, sf):
+    """JPEG decode VALUE-CHECKED end-to-end (round-4 verdict ask #3):
+    the image_dhash_png construction with the base image shipped as a
+    baseline JFIF — near-lossless all-ones quantization, 4:2:0 chroma
+    subsampling AND restart markers every 2 MCUs, so a match drives
+    the Huffman scan decode, dequantize + IDCT, chroma upsample, RST
+    resync, and YCbCr round-trip simultaneously. JPEG is lossy, so
+    the fixture is MARGIN-ROBUST: pixels are gray (chroma constant →
+    4:2:0 exact) at levels spaced 32 apart with adjacent dHash-grid
+    cells forced to different levels; measured decode error ≤2 can
+    never flip a ≥32-margin comparison, and the +10-brightness PPM
+    copy (exact container) must land at hamming 0. Expected pair set
+    is again {(i, i+10^9, 0): i % 10 = 0}."""
+    import hashlib
+
+    import pandas as pd
+
+    from webcrawler_spark.operators.multimodal import (
+        dhash_near_pairs,
+        encode_jpeg,
+        encode_ppm,
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            ids, blobs = [], []
+            for did in pdf["doc_id"]:
+                raw = b"".join(
+                    hashlib.md5(f"j{did}:{k}".encode()).digest()
+                    for k in range(5)
+                )
+                prev = -1
+                levels = []
+                for b in raw[:72]:  # 9x8 grid = the whole dHash grid
+                    k = b % 7
+                    if k == prev:
+                        k = (k + 1) % 7
+                    levels.append(k)
+                    prev = k
+                base = bytes(
+                    v for k in levels for v in (k * 32 + 8,) * 3
+                )
+                ids.append(int(did))
+                blobs.append(
+                    encode_jpeg(
+                        base, width=9, channels=3,
+                        subsampling="420", restart_interval=2,
+                    )
+                )
+                if did % 10 == 0:
+                    shifted = bytes(b + 10 for b in base)
+                    ids.append(int(did) + 1000000000)
+                    blobs.append(encode_ppm(shifted, width=9))
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    media = (
+        _docs(spark, sf)
+        .select("doc_id")
+        .mapInPandas(synth, "media_id long, content binary")
+    )
+    return dhash_near_pairs(media)
+
+
 def _q_audio_fp_pairs(spark, sf):
     """Audio near-dup VALUE-CHECKED through the real WAV decode + FFT
     path (the image_dhash_pairs pattern transposed to gain): every doc
@@ -2706,6 +2769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_codec": _q_multimodal_codec,
         "image_dhash_pairs": _q_image_dhash_pairs,
         "image_dhash_png": _q_image_dhash_png,
+        "image_dhash_jpeg": _q_image_dhash_jpeg,
         "audio_fp_pairs": _q_audio_fp_pairs,
         "lsh_ann": _q_lsh_ann,
         "pipeline_funnel": _q_pipeline_funnel,
@@ -3687,6 +3751,10 @@ def oracle_sql() -> dict[str, str]:
             from documents where doc_id % 10 = 0
         """,
         "image_dhash_png": """
+            select doc_id as a, doc_id + 1000000000 as b, 0 as hamming
+            from documents where doc_id % 10 = 0
+        """,
+        "image_dhash_jpeg": """
             select doc_id as a, doc_id + 1000000000 as b, 0 as hamming
             from documents where doc_id % 10 = 0
         """,
