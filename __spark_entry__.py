@@ -2008,7 +2008,10 @@ def _q_cleaning_funnel(spark, sf):
     return a.crossJoin(b)
 
 
-def _q_pipeline_funnel(spark, sf, quality_tier: str = "exact"):
+def _q_pipeline_funnel(
+    spark, sf, quality_tier: str = "exact", docs_df=None, lined_df=None,
+    gopher_overrides=None,
+):
     """THE end-to-end training-data pipeline (round-3 verdict ask #6):
     eleven production stages composed in production order over one
     corpus, one oracled survivor-count per stage —
@@ -2056,10 +2059,17 @@ def _q_pipeline_funnel(spark, sf, quality_tier: str = "exact"):
         unigram_logprob,
     )
 
-    d = _docs(spark, sf)
+    # docs_df/lined_df: scale-bench overrides — same schema, real
+    # crawled corpus, linear line construction (the _lined_docs
+    # slice-per-segment build is fine at sf doc lengths, quadratic at
+    # 4k-word crawl pages). Defaults preserve the oracle tier.
+    d = docs_df if docs_df is not None else _docs(spark, sf)
 
     # stage 1: C4 line filter over the deterministic lined docs
-    c4 = c4_line_filter(_lined_docs(spark, sf), min_words=3)
+    c4 = c4_line_filter(
+        lined_df if lined_df is not None else _lined_docs(spark, sf),
+        min_words=3,
+    )
     flat = c4.select(
         "doc_id",
         F.regexp_replace("clean_text", "\n", " ").alias("text"),
@@ -2077,9 +2087,10 @@ def _q_pipeline_funnel(spark, sf, quality_tier: str = "exact"):
     corpus = flat.unionByName(mirrors).unionByName(variants).localCheckpoint()
     c4k = corpus.where("keep_c4").drop("keep_c4")
 
-    # stage 2: Gopher doc-stats gate
-    gop = gopher_quality_flags(
-        c4k,
+    # stage 2: Gopher doc-stats gate (defaults tuned to the sf docs'
+    # ~60-word shape; gopher_overrides retunes for e.g. the 4k-word
+    # scale-bench corpus where max_words=80 would cut everything)
+    gop_kwargs = dict(
         min_words=20,
         max_words=80,
         min_avg_word_len=3.0,
@@ -2088,6 +2099,8 @@ def _q_pipeline_funnel(spark, sf, quality_tier: str = "exact"):
         min_stopword_hits=2,
         max_dup_2gram_ratio=0.05,
     )
+    gop_kwargs.update(gopher_overrides or {})
+    gop = gopher_quality_flags(c4k, **gop_kwargs)
     g = c4k.join(gop.where("keep").select("doc_id"), "doc_id")
 
     # stage 3: exact dedup — min-doc_id keeper per md5 digest
@@ -2132,8 +2145,12 @@ def _q_pipeline_funnel(spark, sf, quality_tier: str = "exact"):
     #     tests/test_pipeline_funnel.py).
     scores = unigram_logprob(lg, model_docs=d)
     if quality_tier == "approx":
-        [thr] = scores.approxQuantile("avg_logp", [1.0 / 3.0], 0.001)
-        top = scores.where(F.col("avg_logp") >= thr).select("doc_id")
+        qs = scores.approxQuantile("avg_logp", [1.0 / 3.0], 0.001)
+        # approxQuantile returns [] on an empty scored set — then the
+        # gate is trivially empty-in/empty-out
+        top = (
+            scores.where(F.col("avg_logp") >= qs[0]) if qs else scores
+        ).select("doc_id")
     else:
         k_keep = -(-2 * scores.count() // 3)  # ceil(2n/3)
         top = (

@@ -89,8 +89,13 @@ def ensure_docs(spark) -> tuple[str, dict]:
     from webcrawler_spark.sources.synthetic_web import big_web_seeds
 
     docs_dir = os.path.join(WORK, "docs")
+    edges_dir = os.path.join(WORK, "edges")
     stats_path = os.path.join(WORK, "crawl_stats.json")
-    if os.path.isdir(docs_dir) and os.path.exists(stats_path):
+    if (
+        os.path.isdir(docs_dir)
+        and os.path.isdir(edges_dir)
+        and os.path.exists(stats_path)
+    ):
         return docs_dir, json.load(open(stats_path))
     pages = spark.read.parquet(ensure_corpus(spark))
     seeds = big_web_seeds(spark, num_hosts=HOSTS, every=1)
@@ -106,6 +111,19 @@ def ensure_docs(spark) -> tuple[str, dict]:
     session = crawl(spark, pages, seeds, config=cfg)
     dt = time.time() - t0
     eng = session.engine
+    # the REAL crawled host link graph (round-4 verdict ask #4: run
+    # the graph loop over it, not a synthetic doc->partner graph)
+    from webcrawler_spark.functions.urltools import host_col
+
+    (
+        eng.pages_fetched()
+        .select(F.col("host").alias("src"), F.explode("links").alias("_l"))
+        .select("src", host_col(F.col("_l")).alias("dst"))
+        .where((F.col("dst") != "") & (F.col("src") != F.col("dst")))
+        .repartition(64)
+        .write.mode("overwrite")
+        .parquet(edges_dir)
+    )
     fetched = eng.pages_fetched().select("url", "host", "text")
     docs = fetched.select(
         F.abs(F.xxhash64("url")).alias("doc_id"),
@@ -181,6 +199,57 @@ def main() -> None:
     )
     from webcrawler_spark.operators.textstats import words_col
 
+    import __spark_entry__ as _entry
+    from webcrawler_spark.operators.boilerplate import (
+        classify_blocks as _classify_blocks,
+    )
+    from webcrawler_spark.operators.boilerplate import (
+        html_blocks as _html_blocks,
+    )
+    from webcrawler_spark.operators.classifier import (
+        hash_features as _hash_features,
+    )
+    from webcrawler_spark.operators.classifier import (
+        lr_score as _lr_score,
+    )
+    from webcrawler_spark.operators.classifier import (
+        lr_train as _lr_train,
+    )
+    from webcrawler_spark.operators.graph import opic as _opic
+    from webcrawler_spark.operators.graph import pagerank as _pagerank
+    from webcrawler_spark.operators.langid import fit_nb_langid as _fit_nb
+    from webcrawler_spark.operators.langid import nb_langid as _nb_langid
+    from webcrawler_spark.sources.cdx import cdx_lines as _raw_cdx_lines
+    from webcrawler_spark.sources.cdx import write_cdx as _write_cdx
+    from webcrawler_spark.sources.warc import write_warc as _write_warc
+
+    _funnel = _entry._q_pipeline_funnel
+    edges_dir = os.path.join(WORK, "edges")
+
+    def edges():
+        return spark.read.parquet(edges_dir)
+
+    def _cdx_lines(df):
+        return _raw_cdx_lines(
+            df.withColumn(
+                "warc_ts", F.col("fetch_ts").cast("timestamp")
+            ).withColumn("mime", F.col("content_type"))
+        )
+
+    def _lr_at_scale(d):
+        feats = _hash_features(d)
+        labels = d.select(
+            F.col("doc_id").alias("id"),
+            (
+                F.size(
+                    F.filter(F.split("text", " "), lambda w: w.startswith("w1"))
+                )
+                >= 40
+            ).cast("double").alias("y"),
+        )
+        w = _lr_train(feats, labels, n_iter=3, lr=1.0)
+        return _lr_score(feats, w).count()
+
     def words():
         return docs.select(
             "source", F.explode(words_col(F.col("text"))).alias("term")
@@ -213,11 +282,28 @@ def main() -> None:
         "minhash_lsh_candidates_r3": lambda: lsh_candidate_pairs(
             docs.select("doc_id", "text"), rows_per_band=3
         ).count(),
+        # round-4 verdict ask #2: the Arrow signature tier (one
+        # mapInPandas pass, no 5e8-row explode->aggregate) vs the md5
+        # tier above — the headline ≥2x claim is r3_arrow vs r3
+        "minhash_lsh_candidates_r3_arrow": lambda: lsh_candidate_pairs(
+            docs.select("doc_id", "text"),
+            rows_per_band=3,
+            signature_tier="arrow",
+        ).count(),
         "near_dup_pipeline": lambda: near_duplicate_pairs(
             docs.select("doc_id", "text"), threshold=0.5, rows_per_band=3
         ).count(),
+        "near_dup_pipeline_arrow": lambda: near_duplicate_pairs(
+            docs.select("doc_id", "text"),
+            threshold=0.5,
+            rows_per_band=3,
+            signature_tier="arrow",
+        ).count(),
         "duplicate_clusters": lambda: duplicate_clusters(
-            docs.select("doc_id", "text"), threshold=0.5
+            docs.select("doc_id", "text"),
+            threshold=0.5,
+            rows_per_band=3,
+            signature_tier="arrow",
         ).count(),
         "segment_dedup": lambda: dedup_text_segments(
             docs.select("doc_id", "text"), words_per_segment=8, max_dupes=1
@@ -263,6 +349,68 @@ def main() -> None:
             ),
             seq_len=2048,
         ).count(),
+        # ---- round-4 verdict ask #4: the remaining tiers ------------
+        # graph loop over the REAL crawled link graph
+        "host_pagerank": lambda: _pagerank(edges(), n_iter=5).count(),
+        "opic_importance": lambda: _opic(edges(), n_iter=5).count(),
+        # langid: fit on the even half, predict the whole corpus
+        "nb_langid_train_predict": lambda: (
+            lambda mp: _nb_langid(docs, mp[0], mp[1]).count()
+        )(_fit_nb(docs.where(F.col("doc_id") % 2 == 0), max_vocab=300)),
+        # LR quality classifier: hashed features, 3 GD iterations,
+        # synthetic label = 'has >= 2 common-word hits'
+        "lr_quality_train_predict": lambda: _lr_at_scale(docs),
+        # jusText boilerplate over the raw corpus html (126k subset)
+        "justext_blocks": lambda: _classify_blocks(
+            _html_blocks(
+                spark.read.parquet(ensure_corpus(spark))
+                .where(~F.col("url").endswith("/robots.txt"))
+                .limit(126000)
+                .select(
+                    F.xxhash64("url").alias("doc_id"),
+                    F.col("html").cast("string").alias("html"),
+                )
+            )
+        ).count(),
+        # WARC / WET / CDX sinks at corpus scale: write + manifest
+        "warc_sink": lambda: _write_warc(
+            docs.select(
+                F.concat(F.col("source"), F.lit("/d"), F.col("doc_id")).alias("url"),
+                F.lit(200).alias("status"),
+                F.lit("text/html").alias("content_type"),
+                F.encode("text", "utf-8").alias("payload"),
+            ),
+            os.path.join(WORK, "warc_out"),
+        ).count(),
+        "cdx_sink": lambda: _write_cdx(
+            _cdx_lines(
+                docs.select(
+                    F.concat(
+                        F.col("source"), F.lit("/d"), F.col("doc_id")
+                    ).alias("url"),
+                    F.lit(200).alias("status"),
+                    F.lit("text/html").alias("content_type"),
+                    F.encode("text", "utf-8").alias("payload"),
+                    F.lit(1.7e9).alias("fetch_ts"),
+                )
+            ),
+            os.path.join(WORK, "cdx_out"),
+        ).count(),
+        # the eleven-stage funnel, approx quality tier (verdict ask #5)
+        "pipeline_funnel_approx": lambda: (
+            _funnel(
+                spark, None, quality_tier="approx",
+                docs_df=docs, lined_df=lined(),
+                # retuned to the 4k-word crawl-page shape (the sf
+                # defaults would cut every doc at max_words=80)
+                gopher_overrides=dict(
+                    min_words=50, max_words=100000,
+                    min_avg_word_len=1.0, max_avg_word_len=20.0,
+                    max_symbol_ratio=0.2, min_stopword_hits=0,
+                    max_dup_2gram_ratio=0.8,
+                ),
+            ).first()["n_mix"]
+        ),
     }
     only = os.environ.get("SPARK_GRAFT_SCALE_OPS")
     if only:
