@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "kmv_intersection",
     "image_dhash_pairs",
     "image_dhash_png",
+    "image_dhash_jpeg",
     "audio_fp_pairs",
     "pipeline_funnel",
 ]
