@@ -299,6 +299,15 @@ def main() -> None:
             rows_per_band=3,
             signature_tier="arrow",
         ).count(),
+        # both Arrow tiers: zero-shuffle signatures AND in-row verify
+        # (no shingle explode anywhere in the pipeline)
+        "near_dup_pipeline_arrow_full": lambda: near_duplicate_pairs(
+            docs.select("doc_id", "text"),
+            threshold=0.5,
+            rows_per_band=3,
+            signature_tier="arrow",
+            verify_tier="arrow",
+        ).count(),
         "duplicate_clusters": lambda: duplicate_clusters(
             docs.select("doc_id", "text"),
             threshold=0.5,

@@ -690,6 +690,26 @@ def test_arrow_signature_tier_parity(spark):
     assert planted <= {(a, b) for a, b, _ in arrow_nd}
     assert arrow_nd == exact_nd  # deterministic on this fixture
 
+    # the Arrow VERIFY tier (in-row Jaccard over pair-joined texts, no
+    # shingle explode) is row-identical to the explode-join verify —
+    # same candidates in, same Jaccard math, same rounding
+    arrow_full = {
+        (r["a"], r["b"], r["jaccard"])
+        for r in near_duplicate_pairs(
+            docs, threshold=0.8,
+            signature_tier="arrow", verify_tier="arrow",
+        ).collect()
+    }
+    assert arrow_full == exact_nd
+    # and with the oracle-tier candidates too (verify tier alone)
+    verify_only = {
+        (r["a"], r["b"], r["jaccard"])
+        for r in near_duplicate_pairs(
+            docs, threshold=0.8, verify_tier="arrow"
+        ).collect()
+    }
+    assert verify_only == exact_nd
+
     # schema + per-doc row shape matches the exact tier
     sig = minhash_signatures_arrow(docs)
     assert sig.columns == ["doc_id", "band_id", "band_min"]

@@ -402,17 +402,28 @@ def near_duplicate_pairs(
     threshold: float = 0.5,
     rows_per_band: int = 1,
     signature_tier: str = "exact",
+    verify_tier: str = "exact",
 ) -> DataFrame:
     """Composed dedup pipeline: LSH candidates → exact Jaccard verify.
 
     This is the form a 100 TB dedup actually runs: the shingle table is
     NEVER self-joined. The candidate pair set is fixed first (banded
-    MinHash bucket join, candidate-bounded), then intersection counts
-    come from joining the pair list against each side's shingles —
-    row counts are Σ|shingles(a)| over candidate pairs, so a hot
-    shingle key cannot explode the plan the way the standalone
-    ``jaccard_pairs`` self-join can (its docstring marks it as the
-    small-corpus/oracle tier).
+    MinHash bucket join, candidate-bounded), then exact Jaccard is
+    computed per candidate pair by one of two tiers:
+
+    * ``verify_tier="exact"`` (oracle tier): intersection counts via
+      joining the pair list against each side's exploded shingles —
+      row counts are Σ|shingles(a)| over candidate pairs, so a hot
+      shingle key cannot explode the plan the way the standalone
+      ``jaccard_pairs`` self-join can, but every candidate's shingles
+      are still exploded and shuffled.
+    * ``verify_tier="arrow"`` (scale tier): both texts join onto the
+      (tiny) pair list — two scan-shaped broadcast joins, the corpus
+      never shuffles — and one Arrow ``mapInPandas`` pass computes the
+      shingle sets and exact Jaccard in-row. Zero exploded rows; the
+      per-pair work is O(|a| + |b|). The Jaccard VALUE is identical
+      math (distinct-shingle sets, round 6), so given the same
+      candidates the two tiers are row-identical (tested).
 
     Output matches ``jaccard_pairs`` restricted to the LSH candidate
     set: (a, b, jaccard) with jaccard ≥ threshold.
@@ -420,6 +431,8 @@ def near_duplicate_pairs(
     cand = lsh_candidate_pairs(
         df, id_col, text_col, n, bands, rows_per_band, signature_tier
     )
+    if verify_tier == "arrow":
+        return _jaccard_verify_arrow(df, cand, id_col, text_col, n, threshold)
     sh = explode_shingles(df, id_col, text_col, n)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     inter = (
@@ -441,6 +454,61 @@ def near_duplicate_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
+    )
+
+
+def _jaccard_verify_arrow(
+    df: DataFrame,
+    cand: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    threshold: float,
+) -> DataFrame:
+    """Arrow verify tier: join both texts onto the candidate pairs
+    (scan-shaped — the pair list is the small side of both joins),
+    then one in-row pass computes |A∩B| / |A∪B| over the distinct
+    word-shingle sets. Candidate pairs after banding are rare
+    (S-curve), so the pair×text table is tiny even when the corpus is
+    not."""
+    import pandas as pd
+
+    texts_a = df.select(
+        F.col(id_col).alias("a"), F.col(text_col).alias("_ta")
+    )
+    texts_b = df.select(
+        F.col(id_col).alias("b"), F.col(text_col).alias("_tb")
+    )
+    paired = cand.join(texts_a, "a").join(texts_b, "b")
+
+    def gen(batches):
+        for pdf in batches:
+            out_a, out_b, out_j = [], [], []
+            for a, b, ta, tb in zip(
+                pdf["a"].values, pdf["b"].values,
+                pdf["_ta"].values, pdf["_tb"].values,
+            ):
+                wa = ta.split(" ") if ta is not None else []
+                wb = tb.split(" ") if tb is not None else []
+                sa = {
+                    " ".join(wa[i : i + n]) for i in range(len(wa) - n + 1)
+                }
+                sb = {
+                    " ".join(wb[i : i + n]) for i in range(len(wb) - n + 1)
+                }
+                union = len(sa | sb)
+                if union == 0:
+                    continue
+                j = round(len(sa & sb) / union, 6)
+                if j >= threshold:
+                    out_a.append(a)
+                    out_b.append(b)
+                    out_j.append(j)
+            yield pd.DataFrame({"a": out_a, "b": out_b, "jaccard": out_j})
+
+    id_t = df.schema[id_col].dataType.simpleString()
+    return paired.mapInPandas(
+        gen, f"a {id_t}, b {id_t}, jaccard double"
     )
 
 
