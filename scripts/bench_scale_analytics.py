@@ -362,10 +362,19 @@ def main() -> None:
         # graph loop over the REAL crawled link graph
         "host_pagerank": lambda: _pagerank(edges(), n_iter=5).count(),
         "opic_importance": lambda: _opic(edges(), n_iter=5).count(),
-        # langid: fit on the even half, predict the whole corpus
+        # langid: fit on the even half, predict the whole corpus.
+        # max_chars=2000 is the production prefix cap (fastText/CLD
+        # practice) — language ID saturates in 1-2 KB, and grams over
+        # the full 25 KB pages would be pure waste
         "nb_langid_train_predict": lambda: (
-            lambda mp: _nb_langid(docs, mp[0], mp[1]).count()
-        )(_fit_nb(docs.where(F.col("doc_id") % 2 == 0), max_vocab=300)),
+            lambda mp: _nb_langid(docs, mp[0], mp[1], max_chars=2000).count()
+        )(
+            _fit_nb(
+                docs.where(F.col("doc_id") % 2 == 0),
+                max_vocab=300,
+                max_chars=2000,
+            )
+        ),
         # LR quality classifier: hashed features, 3 GD iterations,
         # synthetic label = 'has >= 2 common-word hits'
         "lr_quality_train_predict": lambda: _lr_at_scale(docs),
@@ -417,6 +426,11 @@ def main() -> None:
                     min_avg_word_len=1.0, max_avg_word_len=20.0,
                     max_symbol_ratio=0.2, min_stopword_hits=0,
                     max_dup_2gram_ratio=0.8,
+                ),
+                neardup_overrides=dict(
+                    rows_per_band=3,
+                    signature_tier="arrow",
+                    verify_tier="arrow",
                 ),
             ).first()["n_mix"]
         ),

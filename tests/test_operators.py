@@ -221,8 +221,13 @@ def test_ppm_roundtrip_and_header_robustness():
     assert isinstance(
         multimodal._decode_image_real(ppm), np.ndarray
     )
-    with pytest.raises(NotImplementedError):
+    # JPEG payloads now hit the real baseline decoder (round-5): a
+    # garbage body is a CORRUPT stream (ValueError), while formats
+    # with no decoder at all stay NotImplementedError
+    with pytest.raises(ValueError):
         multimodal._decode_image_real(b"\xff\xd8\xff\xe0jpeg...")
+    with pytest.raises(NotImplementedError):
+        multimodal._decode_image_real(b"GIF89a......")
 
 
 def test_wav_roundtrip():

@@ -698,21 +698,21 @@ def duplicated_ngrams(
     round-trip) — the production tier; pair sets are identical except
     for 32-bit-prefix collisions (~1e-10 at 10^5 grams).
     """
+    # Linear gram build: the old transform(sequence(1, n-k+1),
+    # i -> hash(concat_ws(slice(toks, i, k)))) re-evaluates the
+    # split-inside-the-lambda PER ELEMENT (higher-order lambdas are
+    # interpreted, no subexpression reuse) — O(n_tokens²) per doc,
+    # the same class as the round-4 shingle bug. sliding_ngrams is
+    # one linear pass; the hash lambda then touches only its element.
     toks = F.split(F.col(text_col), " ")
     n = F.size(toks)
     if native_hash:
-        gram_hash = lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, k)))
-        htype = "array<bigint>"
+        gram_hash = lambda g: F.xxhash64(g)
     else:
-        gram_hash = lambda i: F.conv(
-            F.substring(F.md5(F.concat_ws(" ", F.slice(toks, i, k))), 1, 8),
-            16,
-            10,
+        gram_hash = lambda g: F.conv(
+            F.substring(F.md5(g), 1, 8), 16, 10
         ).cast("long")
-        htype = "array<long>"
-    grams_arr = F.when(
-        n >= k, F.transform(F.sequence(F.lit(1), n - k + 1), gram_hash)
-    ).otherwise(F.array().cast(htype))
+    grams_arr = F.transform(sliding_ngrams(toks, k), gram_hash)
     grams = df.select(
         F.col(id_col), F.explode(grams_arr).alias("g")
     )
@@ -860,19 +860,17 @@ def remove_duplicate_spans(
     """
     from pyspark.sql.window import Window
 
+    # linear gram build — see duplicated_ngram_stats for why the
+    # slice-per-gram lambda form is O(n_tokens²)
     toks = F.split(F.col(text_col), " ")
     n = F.size(toks)
     if native_hash:
-        gram_hash = lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, k)))
+        gram_hash = lambda g: F.xxhash64(g)
     else:
-        gram_hash = lambda i: F.conv(
-            F.substring(F.md5(F.concat_ws(" ", F.slice(toks, i, k))), 1, 8),
-            16,
-            10,
+        gram_hash = lambda g: F.conv(
+            F.substring(F.md5(g), 1, 8), 16, 10
         ).cast("long")
-    grams_arr = F.when(
-        n >= k, F.transform(F.sequence(F.lit(1), n - k + 1), gram_hash)
-    ).otherwise(F.array().cast("array<long>"))
+    grams_arr = F.transform(sliding_ngrams(toks, k), gram_hash)
     grams = df.select(
         F.col(id_col), F.posexplode(grams_arr).alias("pos0", "gh")
     ).select(id_col, (F.col("pos0") + 1).alias("pos"), "gh")

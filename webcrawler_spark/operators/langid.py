@@ -40,14 +40,28 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
-def char_ngrams(text: Column, n: int = 3) -> Column:
+def char_ngrams(text: Column, n: int = 3, max_chars: int | None = None) -> Column:
     """array<string> of the text's overlapping character n-grams
     (character-based positions, so multibyte scripts are exact; the
-    DuckDB twin ``substring(text, i, n)`` counts the same way)."""
-    n_g = F.greatest(F.length(text) - F.lit(n - 1), F.lit(0))
-    return F.when(n_g < 1, F.array().cast("array<string>")).otherwise(
-        F.transform(F.sequence(F.lit(1), n_g), lambda i: F.substr(text, i, F.lit(n)))
-    )
+    DuckDB twin ``substring(text, i, n)`` counts the same way).
+
+    Linear construction: the obvious ``transform(sequence(1, cnt),
+    i -> substr(text, i, n))`` is O(len²) per document — UTF-8
+    ``substr`` must SCAN to character position i, so a 25 KB crawl
+    page pays ~3·10⁸ char scans (found by the round-5 scale stress:
+    the langid fit pinned 32 cores for 20+ min with zero task
+    progress on the 252k-doc corpus). This splits the text into a
+    char array once and reuses textstats.sliding_ngrams' shifted
+    zip_with with an empty separator — identical gram sequence, O(len)
+    slices.
+
+    ``max_chars`` caps the text prefix that contributes grams (the
+    fastText/CLD practice — language ID saturates within ~1-2 KB;
+    None = whole text, the oracle tier)."""
+    from webcrawler_spark.operators.textstats import sliding_ngrams
+
+    t = text if max_chars is None else F.substr(text, F.lit(1), F.lit(max_chars))
+    return sliding_ngrams(F.split(t, ""), n, sep="")
 
 
 def fit_nb_langid(
@@ -56,6 +70,7 @@ def fit_nb_langid(
     label_col: str = "lang",
     n: int = 3,
     max_vocab: int = 500,
+    max_chars: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Fit the model: returns ``(model, priors)`` where model is
     (gram, lang, logp) — dense over vocab × langs, ≤ max_vocab·L rows
@@ -65,7 +80,7 @@ def fit_nb_langid(
     spark = train.sparkSession
     grams = train.select(
         F.col(label_col).alias("lang"),
-        F.explode(char_ngrams(F.col(col), n)).alias("gram"),
+        F.explode(char_ngrams(F.col(col), n, max_chars)).alias("gram"),
     )
     # ONE pass over the exploded gram stream: counts is persisted, the
     # vocab cap (TakeOrderedAndProject) collects ≤ max_vocab strings to
@@ -124,12 +139,14 @@ def nb_langid(
     col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    max_chars: int | None = None,
 ) -> DataFrame:
     """Classify: (id, pred_lang, score, n_grams) — argmax language per
     doc, ties broken by lang ascending. ``n_grams`` counts the scored
     (in-vocab) grams."""
     grams = df.select(
-        F.col(id_col), F.explode(char_ngrams(F.col(col), n)).alias("gram")
+        F.col(id_col),
+        F.explode(char_ngrams(F.col(col), n, max_chars)).alias("gram")
     )
     scored = (
         grams.join(F.broadcast(model), "gram")

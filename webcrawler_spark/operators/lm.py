@@ -40,17 +40,25 @@ from webcrawler_spark.operators.textstats import words_col
 
 
 def _bigrams(text: Column) -> Column:
-    """array<struct<w1,w2>> of adjacent token pairs."""
+    """array<struct<w1,w2>> of adjacent token pairs.
+
+    Linear form (round-5 scale fix): the element_at-per-index lambda
+    re-evaluates the un-bound words array per element (interpreted
+    higher-order lambdas have no subexpression reuse) — O(n_tokens²)
+    per doc. zip_with evaluates both input arrays ONCE and pairs
+    element-wise; the ragged null tail is trimmed by one final
+    slice."""
     w = words_col(text)
     n = F.size(w)
-    return F.when(n < 2, F.array().cast("array<struct<w1:string,w2:string>>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.struct(
-                F.element_at(w, i).alias("w1"), F.element_at(w, i + 1).alias("w2")
-            ),
-        )
+    shifted = F.slice(w, 2, F.greatest(n - 1, F.lit(0)))
+    pairs = F.zip_with(
+        w,
+        shifted,
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
+    return F.when(
+        n < 2, F.array().cast("array<struct<w1:string,w2:string>>")
+    ).otherwise(F.slice(pairs, 1, n - 1))
 
 
 def fit_bigram_lm(

@@ -42,9 +42,10 @@ def words_col(text: Column) -> Column:
     return F.split(text, " ")
 
 
-def sliding_ngrams(words: Column, n: int) -> Column:
-    """Positional word n-grams (space-joined), length size(words)-n+1,
-    in O(size · n) per row.
+def sliding_ngrams(words: Column, n: int, sep: str = " ") -> Column:
+    """Positional n-grams over any token array (``sep``-joined; " "
+    for word grams, "" for char grams), length size(words)-n+1, in
+    O(size · n) per row.
 
     The naive ``transform(sequence(1, cnt), i -> array_join(slice(
     words, i, n)))`` is O(size²): Catalyst's Slice copies per element,
@@ -64,7 +65,7 @@ def sliding_ngrams(words: Column, n: int) -> Column:
         shifted = F.slice(
             words, k + 1, F.greatest(F.size(words) - k, F.lit(0))
         )
-        g = F.zip_with(g, shifted, lambda a, b: F.concat_ws(" ", a, b))
+        g = F.zip_with(g, shifted, lambda a, b: F.concat_ws(sep, a, b))
     return F.when(count < 1, F.array().cast("array<string>")).otherwise(
         F.slice(g, 1, count)
     )
@@ -216,20 +217,27 @@ def winnow_fingerprints(
     ≥ k + w - 1 between two documents yields at least one shared
     fingerprint — the local-similarity dual to MinHash's global
     Jaccard. Everything is a native array expression on one row (no
-    shuffle until the final explode), so the operator scales linearly
-    and whole-stage-codegens; the md5-prefix gram hash is reproducible
-    in any SQL oracle."""
-    t = F.col(col)
-    n_grams = F.length(t) - k + 1
-    grams = F.when(
-        n_grams >= 1,
+    shuffle until the final explode); the md5-prefix gram hash is
+    reproducible in any SQL oracle.
+
+    Linearity (round-5 scale fix): the obvious per-position lambdas
+    are quadratic twice over — ``t.substr(i, k)`` SCANS to char i on
+    UTF-8, and a lambda that references the un-bound gram expression
+    re-evaluates it per element. Chars are split once, grams built by
+    the shared linear sliding_ngrams pass, and the gram-hash array is
+    BOUND AS A COLUMN between selects so the window-min lambda sees an
+    attribute (O(w) slice per window), not a recomputed expression."""
+    grams_txt = sliding_ngrams(F.split(F.col(col), ""), k, sep="")
+    bound = df.select(
+        F.col(id_col),
         F.transform(
-            F.sequence(F.lit(1), n_grams),
-            lambda i: F.conv(
-                F.substring(F.md5(t.substr(i, F.lit(k))), 1, 8), 16, 10
-            ).cast("long"),
-        ),
-    ).otherwise(F.array().cast("array<long>"))
+            grams_txt,
+            lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast(
+                "long"
+            ),
+        ).alias("_grams"),
+    )
+    grams = F.col("_grams")
     n_wins = F.size(grams) - w + 1
     fps = F.when(
         n_wins >= 1,
@@ -242,7 +250,7 @@ def winnow_fingerprints(
     ).otherwise(  # short doc (< k+w-1 chars): one window = min of all
         F.filter(F.array(F.array_min(grams)), lambda x: x.isNotNull())
     )
-    return df.select(F.col(id_col), F.explode(fps).alias("fp"))
+    return bound.select(F.col(id_col), F.explode(fps).alias("fp"))
 
 
 def unigram_logprob(
