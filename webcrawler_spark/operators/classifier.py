@@ -68,12 +68,24 @@ def hash_features(
 ) -> DataFrame:
     """Sparse hashed features (id, j, x): per-doc word counts folded
     into ``dim`` buckets, normalized by the doc's word count, plus the
-    bias row (j = -1, x = 1). One explode + one hash aggregate."""
-    words = F.filter(F.split(F.col(col), " "), lambda w: w != "")
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.size(words).alias("n_words"),
-        F.explode(words).alias("w"),
+    bias row (j = -1, x = 1). One explode + one hash aggregate.
+
+    The word array is BOUND AS A COLUMN before the explode: with
+    ``size(filter(split(text)))`` selected NEXT TO the explode,
+    Catalyst places that projection after the Generate and re-splits
+    the full text PER EXPLODED WORD ROW — O(doc_len²), caught
+    red-handed by a thread dump in the round-5 scale stress (stage
+    pinned 32 cores 20+ min on 252k 4k-word docs; ArrayFilter →
+    StringSplit per emitted row). Split once, explode the
+    attribute."""
+    base = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.filter(F.split(F.col(col), " "), lambda w: w != "").alias(
+                "_ws"
+            ),
+        )
+        .select("id", F.size("_ws").alias("n_words"), F.explode("_ws").alias("w"))
     )
     feats = (
         base.where(F.col("n_words") > 0)
