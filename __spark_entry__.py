@@ -2010,7 +2010,7 @@ def _q_cleaning_funnel(spark, sf):
 
 def _q_pipeline_funnel(
     spark, sf, quality_tier: str = "exact", docs_df=None, lined_df=None,
-    gopher_overrides=None,
+    gopher_overrides=None, neardup_overrides=None,
 ):
     """THE end-to-end training-data pipeline (round-3 verdict ask #6):
     eleven production stages composed in production order over one
@@ -2110,7 +2110,12 @@ def _q_pipeline_funnel(
     ex = ex.localCheckpoint()
 
     # stage 4: LSH candidates → Jaccard ≥ 0.8 → drop the larger id
-    pairs = near_duplicate_pairs(ex.select("doc_id", "text"), threshold=0.8)
+    # (neardup_overrides: the scale bench passes the S-curve and
+    # Arrow tier knobs here; defaults preserve the oracle tier)
+    pairs = near_duplicate_pairs(
+        ex.select("doc_id", "text"), threshold=0.8,
+        **(neardup_overrides or {}),
+    )
     nd = ex.join(
         pairs.select(F.col("b").alias("doc_id")).distinct(),
         "doc_id",

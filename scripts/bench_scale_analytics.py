@@ -49,6 +49,10 @@ def get_spark():
             SparkSession.builder.master("local[32]")
             .appName("scale-analytics")
             .config("spark.driver.memory", "48g")
+            # local-mode localCheckpoint of a corpus-sized table books
+            # its blocks against task-result accounting; the 1g default
+            # aborts the funnel's stage-1 checkpoint at 252k docs
+            .config("spark.driver.maxResultSize", "0")
             .config("spark.sql.shuffle.partitions", "64")
             .config("spark.sql.files.maxPartitionBytes", "64m")
             .config("spark.local.dir", os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/tmp"))

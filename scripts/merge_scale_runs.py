@@ -1,14 +1,13 @@
 """Merge the round-5 scale-analytics passes into one artifact.
 
-Pass 1 hit the wrapper's wall-clock timeout after its last op
-completed but before the final JSON dump, so its per-op results are
-reconstructed from the stderr log's `op: Xs rows=N` lines; pass 2's
-JSON is merged on top (pass-2 values win for re-run ops).
+Inputs are the per-pass stderr logs (per-op results are parsed from
+their `op: Xs rows=N` lines — passes that hit the wrapper timeout or
+died on a later op never wrote their JSON, but every COMPLETED op's
+measurement is in its log) plus any per-pass JSON files; later inputs
+win for re-run ops.
 
-Usage: python scripts/merge_scale_runs.py \
-           benchruns/r05/scale_analytics.stderr.log \
-           benchruns/r05/scale_analytics_p2.json \
-           benchruns/r05/scale_analytics.json
+Usage: python scripts/merge_scale_runs.py OUT.json INPUT...
+  (INPUT = .stderr.log to parse, or .json to merge verbatim)
 """
 
 import json
@@ -19,31 +18,36 @@ OPLINE = re.compile(r"([a-z_0-9]+): ([0-9.]+)s rows=([0-9]+)")
 CRAWL = re.compile(r"crawl: (\{.*?\})")
 
 
-def main(log_path: str, p2_path: str, out_path: str) -> None:
+def main(out_path: str, inputs: list) -> None:
     ops = {}
     crawl = None
-    with open(log_path) as fh:
-        text = fh.read()
-    for m in OPLINE.finditer(text):
-        ops[m.group(1)] = {
-            "sec": float(m.group(2)),
-            "rows": int(m.group(3)),
-        }
-    cm = CRAWL.search(text)
-    if cm:
-        crawl = json.loads(cm.group(1))
-    with open(p2_path) as fh:
-        p2 = json.load(fh)
-    ops.update(p2["operators"])
+    meta = {}
+    for path in inputs:
+        if path.endswith(".json"):
+            with open(path) as fh:
+                p = json.load(fh)
+            ops.update(p["operators"])
+            meta = {"corpus": p["corpus"], "docs": p["docs"]}
+            crawl = crawl or p.get("crawl")
+            continue
+        with open(path) as fh:
+            text = fh.read()
+        for m in OPLINE.finditer(text):
+            ops[m.group(1)] = {
+                "sec": float(m.group(2)),
+                "rows": int(m.group(3)),
+            }
+        cm = CRAWL.search(text)
+        if cm:
+            crawl = json.loads(cm.group(1))
     out = {
-        "corpus": p2["corpus"],
-        "docs": p2["docs"],
-        "crawl": crawl or p2["crawl"],
+        **meta,
+        "crawl": crawl,
         "operators": ops,
         "note": (
-            "pass 1 (dedup/sketch/graph tiers) reconstructed from the"
-            " stderr log after the wrapper timeout hit post-last-op;"
-            " pass 2 (remaining tiers) merged on top"
+            "merged from multiple passes over the same cached corpus/"
+            "docs; per-op rows parsed from pass logs where a pass"
+            " ended before its JSON dump (timeout / later-op failure)"
         ),
     }
     with open(out_path, "w") as fh:
@@ -52,4 +56,4 @@ def main(log_path: str, p2_path: str, out_path: str) -> None:
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2], sys.argv[3])
+    main(sys.argv[1], sys.argv[2:])
