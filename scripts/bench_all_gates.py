@@ -45,11 +45,10 @@ def _crawl(spark, pages, seeds, cfg_kwargs, tag):
     cfg = CrawlConfig(
         limit=LIMIT,
         max_rounds=8,
-        collect_metrics=False,
         max_urls_per_host_per_round=50,
         round_window=10.0,
         n_buckets=32,
-        **cfg_kwargs,
+        **{"collect_metrics": False, **cfg_kwargs},
     )
     t0 = time.time()
     session = crawl(spark, pages, seeds, config=cfg)
