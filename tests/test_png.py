@@ -122,8 +122,12 @@ def test_rejects():
     )
     with pytest.raises(NotImplementedError, match="interlace"):
         decode_png(adam7)
-    with pytest.raises(NotImplementedError):
+    # JPEG sniffs into the real baseline decoder now (round 5): a
+    # garbage body is a corrupt stream, not an unsupported codec
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xffjpegish")
+    with pytest.raises(NotImplementedError):
+        decode_image(b"RIFFxxxxAVI junk")
 
 
 def test_dhash_codec_independent():
